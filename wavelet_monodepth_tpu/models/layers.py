@@ -1,0 +1,147 @@
+"""Flax building-block modules shared by all decoders (KITTI + NYU trees —
+the reference duplicates these, `KITTI/layers.py:120-173` vs
+`NYUv2/networks/layers.py:11-67`; here there is ONE copy).
+
+Every module optionally takes `in_mask` / `out_mask` so the same params
+drive both the dense decoders and the masked-sparse inference path (see
+ops/sparse.py for why masking is bit-equal to the reference's
+gather/scatter engine). Masks are `None` for dense compute and XLA sees
+exactly the dense program in that case.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import convops
+from ..ops.image import upsample_nearest2x
+
+Array = jnp.ndarray
+
+
+def _torch_conv_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform fan-in init matching torch nn.Conv2d defaults, so
+    scratch training behaves like the reference. shape is HWIO."""
+    kh, kw, cin, _ = shape
+    fan_in = kh * kw * cin
+    bound = (1.0 / fan_in) ** 0.5 * (6.0 ** 0.5) / (2.0 ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / (fan_in ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Conv3x3(nn.Module):
+    """Pad-then-conv 3x3 (`KITTI/layers.py:146-161`)."""
+    features: int
+    pad_mode: str = "reflect"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, in_mask: Optional[Array] = None,
+                 out_mask: Optional[Array] = None,
+                 nonlin: Optional[Callable[[Array], Array]] = None) -> Array:
+        cin = x.shape[-1]
+        w = self.param("kernel", _torch_conv_init, (3, 3, cin, self.features))
+        b = (self.param("bias", _torch_bias_init(9 * cin), (self.features,))
+             if self.use_bias else None)
+        if in_mask is not None:
+            x = x * in_mask
+        y = convops.conv3x3(x, w, b, self.pad_mode)
+        if nonlin is not None:
+            y = nonlin(y)
+        if out_mask is not None:
+            y = y * out_mask
+        return y
+
+
+class Conv1x1(nn.Module):
+    """Pointwise conv (`KITTI/layers.py:164-173`)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        cin = x.shape[-1]
+        w = self.param("kernel", _torch_conv_init, (1, 1, cin, self.features))
+        b = self.param("bias", _torch_bias_init(cin), (self.features,))
+        y = convops.conv1x1(x, w, b)
+        if mask is not None:
+            y = y * mask
+        return y
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 + ELU (`KITTI/layers.py:120-143`)."""
+    features: int
+    pad_mode: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x: Array, in_mask: Optional[Array] = None,
+                 out_mask: Optional[Array] = None) -> Array:
+        return Conv3x3(self.features, self.pad_mode, name="conv")(
+            x, in_mask, out_mask, nonlin=jax.nn.elu)
+
+
+class WaveConv(nn.Module):
+    """Sequential(Conv1x1, LeakyReLU(0.1), Conv3x3-reflect) coefficient
+    head (`depth_decoder.py:106-120`). The intermediate is re-masked under
+    sparsity (see ops/sparse.py masked_waveconv)."""
+    mid_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: Array, in_mask: Optional[Array] = None,
+                 out_mask: Optional[Array] = None,
+                 final_nonlin: Optional[Callable[[Array], Array]]
+                 = jax.nn.sigmoid) -> Array:
+        if in_mask is not None:
+            x = x * in_mask
+        h = Conv1x1(self.mid_features, name="squeeze")(x)
+        h = jax.nn.leaky_relu(h, negative_slope=0.1)
+        if in_mask is not None:
+            h = h * in_mask
+        y = Conv3x3(self.out_features, "reflect", name="conv")(h)
+        if final_nonlin is not None:
+            y = final_nonlin(y)
+        if out_mask is not None:
+            y = y * out_mask
+        return y
+
+
+class UpSampleBlock(nn.Module):
+    """NYU DenseDepth skip-up block: nearest-x2 -> concat skip -> Conv3x3
+    -> LeakyReLU(0.2) (`NYUv2/networks/layers.py:57-67`)."""
+    features: int
+    pad_mode: str = "zero"
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Array,
+                 up_out_mask: Optional[Array] = None,
+                 out_mask: Optional[Array] = None) -> Array:
+        up = jnp.concatenate([upsample_nearest2x(x), skip], axis=-1)
+        if up_out_mask is not None:
+            up = up * up_out_mask
+        return Conv3x3(self.features, self.pad_mode, name="convA")(
+            up, None, out_mask,
+            nonlin=lambda v: jax.nn.leaky_relu(v, negative_slope=0.2))
+
+
+def upsample_concat(x: Array, skip: Optional[Array],
+                    out_mask: Optional[Array] = None) -> Array:
+    """Nearest-x2 + optional skip concat (+ mask), the KITTI decoder's
+    in-between step (`depth_decoder.py:146-149`, sparse variant
+    `KITTI/layers.py:483-508`)."""
+    y = upsample_nearest2x(x)
+    if skip is not None:
+        y = jnp.concatenate([y, skip], axis=-1)
+    if out_mask is not None:
+        y = y * out_mask
+    return y

@@ -1,0 +1,146 @@
+"""Image-space primitives (NHWC): padding, nearest upsampling, mask
+dilation, bilinear resize/warp, smoothness loss.
+
+These are the TPU-native equivalents of the reference's L1 ops
+(`KITTI/layers.py:233-252`, `NYUv2/networks/layers.py:35-36`, the maxpool
+dilations in `depth_decoder.py:313-319`) and of `F.interpolate` /
+`F.grid_sample` call sites (`trainer.py:338,371`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PAD_MODES = {"reflect": "reflect", "zero": "constant", "replicate": "edge"}
+
+
+def pad2d(x: jnp.ndarray, pad: int = 1, mode: str = "reflect") -> jnp.ndarray:
+    """Spatial padding of an NHWC tensor.
+
+    mode: 'reflect' (torch ReflectionPad2d), 'zero' (ZeroPad2d),
+    'replicate' (ReplicationPad2d).  Reference: `KITTI/layers.py:146-161`,
+    `NYUv2/networks/layers.py:14-27`.
+    """
+    jmode = _PAD_MODES[mode]
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=jmode)
+
+
+def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour x2 upsampling (`KITTI/layers.py:233-236`)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def resize_bilinear(x: jnp.ndarray, height: int, width: int,
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear').
+
+    align_corners=False is torch's (and jax.image 'linear') half-pixel
+    convention; align_corners=True samples corner-aligned grids.
+    """
+    if align_corners:
+        n, h, w, c = x.shape
+        gy = jnp.linspace(0.0, h - 1.0, height)
+        gx = jnp.linspace(0.0, w - 1.0, width)
+        return _bilinear_gather(x, gy[None, :, None] * jnp.ones((1, 1, width)),
+                                gx[None, None, :] * jnp.ones((1, height, 1)))
+    return jax.image.resize(x, (x.shape[0], height, width, x.shape[3]),
+                            method="linear")
+
+
+def max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k x k max pool, stride 1, SAME padding (torch MaxPool2d(k, 1, k//2)).
+
+    Used for mask dilation in the sparse decoders
+    (`depth_decoder.py:221-223,313-319`).  Pads with -inf so zero masks
+    stay zero at borders.
+    """
+    p = k // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        [(0, 0), (p, p), (p, p), (0, 0)])
+
+
+def dilate_mask(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Dilate a {0,1} float mask with a k x k window."""
+    return max_pool_same(mask, k)
+
+
+def avg_pool3_valid(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 average pool, stride 1, VALID (torch AvgPool2d(3, 1)) — the SSIM
+    building block (`KITTI/layers.py:286-290`)."""
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
+                              (1, 1, 1, 1), "VALID")
+    return s / 9.0
+
+
+def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """Gather img (N,H,W,C) at float pixel coords y/x (N,Ho,Wo) with border
+    clamping (grid_sample padding_mode='border')."""
+    n, h, w, c = img.shape
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (y - y0.astype(img.dtype))[..., None]
+    wx = (x - x0.astype(img.dtype))[..., None]
+
+    def gat(iy, ix):
+        # (N, Ho, Wo, C) gather via flat indexing per batch element.
+        flat = img.reshape(n, h * w, c)
+        idx = iy * w + ix
+        return jnp.take_along_axis(flat, idx.reshape(n, -1, 1), axis=1
+                                   ).reshape(iy.shape + (c,))
+
+    v00 = gat(y0, x0)
+    v01 = gat(y0, x1)
+    v10 = gat(y1, x0)
+    v11 = gat(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """torch F.grid_sample(img, grid, padding_mode='border',
+    align_corners=False) equivalent, NHWC.
+
+    Args:
+      img:  (N, H, W, C).
+      grid: (N, Ho, Wo, 2) normalized coords in [-1, 1], last dim (x, y).
+    Reference call site: `KITTI/trainer.py:371-374`.
+
+    Torch's align_corners=False maps u in [-1,1] to pixel centres via
+    ((u + 1) * size - 1) / 2; out-of-range coords clamp to the border.
+    """
+    n, h, w, c = img.shape
+    u = grid[..., 0]
+    v = grid[..., 1]
+    x = ((u + 1.0) * w - 1.0) * 0.5
+    y = ((v + 1.0) * h - 1.0) * 0.5
+    return _bilinear_gather(img, y, x)
+
+
+def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray,
+                    gamma: float = 2.0) -> jnp.ndarray:
+    """Edge-aware disparity smoothness (`KITTI/layers.py:239-252`). NHWC."""
+    grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]),
+                          axis=3, keepdims=True)
+    grad_img_y = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]),
+                          axis=3, keepdims=True)
+    grad_disp_x = grad_disp_x * jnp.exp(-gamma * grad_img_x)
+    grad_disp_y = grad_disp_y * jnp.exp(-gamma * grad_img_y)
+    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+
+
+def normalize_image(x: jnp.ndarray) -> jnp.ndarray:
+    """Rescale to [0, 1] for visualization (`KITTI/utils.py:24-29`)."""
+    ma, mi = jnp.max(x), jnp.min(x)
+    return (x - mi) / (ma - mi + 1e-5)
