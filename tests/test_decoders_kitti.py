@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.models.decoders_kitti import (DepthDecoder,
+                                                         KittiWaveletDecoder)
+from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, num_ch_enc
+from wavelet_monodepth_tpu.ops.sparse import compute_density
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def enc_feats():
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 3), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    return feats
+
+
+def test_encoder_pyramid(enc_feats):
+    shapes = [f.shape for f in enc_feats]
+    assert shapes == [(1, H // 2, W // 2, 64), (1, H // 4, W // 4, 64),
+                      (1, H // 8, W // 8, 128), (1, H // 16, W // 16, 256),
+                      (1, H // 32, W // 32, 512)]
+
+
+def test_baseline_decoder(enc_feats):
+    dec = DepthDecoder(num_ch_enc=num_ch_enc(18))
+    variables = dec.init(jax.random.PRNGKey(1), enc_feats)
+    out = dec.apply(variables, enc_feats)
+    for s in range(4):
+        d = out[("disp", s)]
+        assert d.shape == (1, H // 2 ** s, W // 2 ** s, 1)
+        assert float(d.min()) >= 0 and float(d.max()) <= 1
+
+
+@pytest.fixture(scope="module")
+def wave_setup(enc_feats):
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
+    variables = dec.init(jax.random.PRNGKey(2), enc_feats)
+    return dec, variables
+
+
+def test_wavelet_dense(enc_feats, wave_setup):
+    dec, variables = wave_setup
+    out = dec.apply(variables, enc_feats)
+    for s in range(4):
+        d = out[("disp", s)]
+        assert d.shape == (1, H // 2 ** s, W // 2 ** s, 1)
+        assert float(d.min()) >= 0 and float(d.max()) <= 1
+        for c in ("LL", "LH", "HL", "HH"):
+            assert ("wavelets", s, c) in out
+    # coefficient scale conventions: LL at scale 3 bounded by 2^4
+    ll3 = out[("wavelets", 3, "LL")]
+    assert float(jnp.max(ll3)) <= 2.0 ** 4
+    assert ll3.shape == (1, H // 16, W // 16, 1)
+
+
+def test_sparse_equals_dense_at_threshold_minus1(enc_feats, wave_setup):
+    """The notebook oracle (KITTI sparsity notebook cell 13): at
+    thresh_ratio=-1 every mask is all-ones and the sparse decoder must
+    reproduce the dense decoder bit-for-bit."""
+    dec, variables = wave_setup
+    dense = dec.apply(variables, enc_feats)
+    sparse = dec.apply(variables, enc_feats, thresh_ratio=-1.0)
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(dense[("disp", s)]), np.asarray(sparse[("disp", s)]),
+            atol=1e-6, err_msg=f"disp scale {s}")
+        for c in ("LH", "HL", "HH"):
+            np.testing.assert_allclose(
+                np.asarray(dense[("wavelets", s, c)]),
+                np.asarray(sparse[("wavelets", s, c)]), atol=1e-6)
+        assert float(sparse[("wavelet_mask", s)].mean()) == 1.0
+
+
+def test_sparse_thresholded(enc_feats, wave_setup):
+    dec, variables = wave_setup
+    out = dec.apply(variables, enc_feats, thresh_ratio=0.05)
+    dens = float(compute_density(out))
+    assert 0.0 <= dens <= 1.0
+    assert float(out[("total_ops", -1)]) > 0
+    # thresholded run must cost fewer counted ops than the all-on run
+    out_full = dec.apply(variables, enc_feats, thresh_ratio=-1.0)
+    assert float(out[("total_ops", -1)]) <= float(out_full[("total_ops", -1)])
+    # masks only exist for sparse mode and with the right resolutions
+    for s in range(4):
+        m = out[("wavelet_mask", s)]
+        assert m.shape == (1, H // 2 ** (s + 1), W // 2 ** (s + 1), 1)
+
+
+def test_sparse_disp_close_to_dense_at_loose_threshold(enc_feats, wave_setup):
+    """Small thresholds only drop small coefficients -> disp error bounded."""
+    dec, variables = wave_setup
+    dense = dec.apply(variables, enc_feats)
+    sparse = dec.apply(variables, enc_feats, thresh_ratio=0.02)
+    d0 = np.asarray(dense[("disp", 0)])
+    s0 = np.asarray(sparse[("disp", 0)])
+    assert np.abs(d0 - s0).mean() < 0.05
+
+
+def test_jit_dense_and_sparse(enc_feats, wave_setup):
+    dec, variables = wave_setup
+    f_dense = jax.jit(lambda v, f: dec.apply(v, f))
+    f_sparse = jax.jit(lambda v, f: dec.apply(v, f, thresh_ratio=0.05))
+    o1 = f_dense(variables, list(enc_feats))
+    o2 = f_sparse(variables, list(enc_feats))
+    assert o1[("disp", 0)].shape == o2[("disp", 0)].shape

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.models.decoders_nyu import (NyuDecoder,
+                                                       NyuDecoder224,
+                                                       NyuDecoderWave,
+                                                       NyuDecoderWave224)
+
+H, W = 64, 96
+NUM_CH_ENC = (24, 24, 48, 96, 128)   # small stand-in pyramid for speed
+
+
+@pytest.fixture(scope="module")
+def feats():
+    rng = np.random.RandomState(0)
+    return [jnp.asarray(rng.rand(1, H // f, W // f, c), jnp.float32)
+            for f, c in zip((2, 4, 8, 16, 32), NUM_CH_ENC)]
+
+
+def test_baseline(feats):
+    dec = NyuDecoder(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(0), feats)
+    out = dec.apply(v, feats)
+    assert out[("disp", 0)].shape == (1, H // 2, W // 2, 1)
+
+
+def test_baseline224(feats):
+    dec = NyuDecoder224(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(0), feats)
+    out = dec.apply(v, feats)
+    assert out[("disp", 0)].shape == (1, H, W, 1)
+
+
+def test_wave_dense(feats):
+    dec = NyuDecoderWave(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(1), feats)
+    out = dec.apply(v, feats)
+    assert out[("disp", 3)].shape == (1, H // 16, W // 16, 1)
+    assert out[("disp", 0)].shape == (1, H // 2, W // 2, 1)
+    assert ("wavelets", 2, "LL") in out
+    assert ("wavelets", 0, "HH") in out
+    # IDWT consistency: disp2 must be the IDWT of (LL2, H2) / 4
+    from wavelet_monodepth_tpu.ops.wavelets import haar_idwt
+    rec = haar_idwt(out[("wavelets", 2, "LL")], out[("wavelets", 2, "LH")],
+                    out[("wavelets", 2, "HL")], out[("wavelets", 2, "HH")])
+    np.testing.assert_allclose(np.asarray(rec / 4),
+                               np.asarray(out[("disp", 2)]), atol=1e-6)
+
+
+def test_wave_sparse_equals_dense_at_minus1(feats):
+    dec = NyuDecoderWave(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(1), feats)
+    dense = dec.apply(v, feats)
+    sparse = dec.apply(v, feats, thresh_ratio=-1.0)
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(dense[("disp", s)]),
+                                   np.asarray(sparse[("disp", s)]),
+                                   atol=1e-5, err_msg=f"disp {s}")
+    assert float(sparse[("total_ops", -1)]) > 0
+
+
+def test_wave_sparse_thresholded(feats):
+    dec = NyuDecoderWave(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(1), feats)
+    out = dec.apply(v, feats, thresh_ratio=0.1)
+    full = dec.apply(v, feats, thresh_ratio=-1.0)
+    assert float(out[("total_ops", -1)]) <= float(full[("total_ops", -1)])
+    # masks live at the coefficient resolutions: scale 1 at H/8, scale 0
+    # at H/4 (upsample of the previous coefficients' grid)
+    assert out[("wavelet_mask", 1)].shape == (1, H // 8, W // 8, 1)
+    assert out[("wavelet_mask", 0)].shape == (1, H // 4, W // 4, 1)
+
+
+def test_wave224(feats):
+    dec = NyuDecoderWave224(num_ch_enc=NUM_CH_ENC)
+    v = dec.init(jax.random.PRNGKey(2), feats)
+    out = dec.apply(v, feats)
+    assert out[("disp", 0)].shape == (1, H, W, 1)
+    assert ("wavelets", 3, "LL") in out
+
+
+def test_depthwise_variants(feats):
+    dec = NyuDecoderWave(num_ch_enc=NUM_CH_ENC, dw_waveconv=True,
+                         dw_upconv=True)
+    v = dec.init(jax.random.PRNGKey(3), feats)
+    out = dec.apply(v, feats)
+    assert out[("disp", 0)].shape == (1, H // 2, W // 2, 1)

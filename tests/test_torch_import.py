@@ -1,0 +1,162 @@
+"""Importer tests: numeric parity on small fragments built with raw torch,
+plus full structural round-trips (synthetic reference-named state dicts ->
+import -> apply on the flax modules, tree structures must line up)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from wavelet_monodepth_tpu.models.decoders_kitti import (DepthDecoder,  # noqa: E402
+                                                         KittiWaveletDecoder,
+                                                         NUM_CH_DEC)
+from wavelet_monodepth_tpu.models.layers import ConvBlock  # noqa: E402
+from wavelet_monodepth_tpu.models.resnet import ResnetEncoder  # noqa: E402
+from wavelet_monodepth_tpu.tools import torch_import as ti  # noqa: E402
+
+
+def _shapes(tree):
+    return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
+
+
+def test_convblock_numeric_parity():
+    """ConvBlock import: pad-reflect conv + ELU must match torch."""
+    tconv = torch.nn.Conv2d(4, 6, 3)
+    x = torch.randn(1, 4, 8, 10)
+    with torch.no_grad():
+        ref = torch.nn.functional.elu(
+            tconv(torch.nn.functional.pad(x, (1, 1, 1, 1), mode="reflect")))
+    sd = {"conv.conv.weight": tconv.weight.detach().numpy(),
+          "conv.conv.bias": tconv.bias.detach().numpy()}
+    params = ti._convblock_from(sd, "")
+    blk = ConvBlock(6, "reflect")
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    out = blk.apply({"params": params}, xj)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy(), atol=1e-5)
+
+
+def _rand_sd(names_shapes):
+    rng = np.random.RandomState(0)
+    return {k: rng.randn(*s).astype(np.float32) * 0.05
+            for k, s in names_shapes}
+
+
+def _wavelet_decoder_sd(num_ch_enc=(64, 64, 128, 256, 512)):
+    """Synthetic state dict with the reference's ModuleList names
+    (depth_decoder.py:88-122)."""
+    names = []
+    idx = 0
+
+    def convblock(i, cin, cout):
+        names.append((f"decoder.{i}.conv.conv.weight", (cout, cin, 3, 3)))
+        names.append((f"decoder.{i}.conv.conv.bias", (cout,)))
+
+    def waveconv(i, cin, cmid, cout):
+        names.append((f"decoder.{i}.0.conv.weight", (cmid, cin, 1, 1)))
+        names.append((f"decoder.{i}.0.conv.bias", (cmid,)))
+        names.append((f"decoder.{i}.2.conv.weight", (cout, cmid, 3, 3)))
+        names.append((f"decoder.{i}.2.conv.bias", (cout,)))
+
+    for i in range(4, 0, -1):
+        cin0 = num_ch_enc[-1] if i == 4 else NUM_CH_DEC[i + 1]
+        convblock(idx, cin0, NUM_CH_DEC[i]); idx += 1
+        cin1 = NUM_CH_DEC[i] + num_ch_enc[i - 1]
+        convblock(idx, cin1, NUM_CH_DEC[i]); idx += 1
+        if i == 4:
+            waveconv(idx, NUM_CH_DEC[4], NUM_CH_DEC[4] // 4, 1); idx += 1
+        waveconv(idx, NUM_CH_DEC[i], NUM_CH_DEC[i], 3); idx += 1
+        waveconv(idx, NUM_CH_DEC[i], NUM_CH_DEC[i], 3); idx += 1
+    return _rand_sd(names)
+
+
+def test_kitti_wavelet_decoder_import_structure():
+    H, W = 64, 96
+    chans = (64, 64, 128, 256, 512)
+    feats = [jnp.zeros((1, H // f, W // f, c), jnp.float32)
+             for f, c in zip((2, 4, 8, 16, 32), chans)]
+    dec = KittiWaveletDecoder(num_ch_enc=chans)
+    ref_vars = dec.init(jax.random.PRNGKey(0), feats)
+    imported = ti.import_kitti_wavelet_decoder(_wavelet_decoder_sd(chans))
+    assert _shapes(ref_vars["params"]) == _shapes(imported["params"])
+    out = dec.apply(imported, feats)
+    assert out[("disp", 0)].shape == (1, H, W, 1)
+    out_sp = dec.apply(imported, feats, thresh_ratio=0.05)
+    assert ("wavelet_mask", 0) in out_sp
+
+
+def _resnet18_sd():
+    names = [("encoder.conv1.weight", (64, 3, 7, 7))]
+    for bn, c in [("encoder.bn1", 64)]:
+        for suf, s in (("weight", (c,)), ("bias", (c,)),
+                       ("running_mean", (c,)), ("running_var", (c,))):
+            names.append((f"{bn}.{suf}", s))
+    chans = [64, 64, 128, 256, 512]
+    for li in range(1, 5):
+        cin, cout = chans[li - 1], chans[li]
+        for b in range(2):
+            t = f"encoder.layer{li}.{b}"
+            c_in = cin if b == 0 else cout
+            names.append((f"{t}.conv1.weight", (cout, c_in, 3, 3)))
+            names.append((f"{t}.conv2.weight", (cout, cout, 3, 3)))
+            for k in (1, 2):
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    names.append((f"{t}.bn{k}.{suf}", (cout,)))
+            if b == 0 and (li > 1):
+                names.append((f"{t}.downsample.0.weight", (cout, cin, 1, 1)))
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    names.append((f"{t}.downsample.1.{suf}", (cout,)))
+    sd = _rand_sd(names)
+    # positive variances
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 1.0
+    sd["height"], sd["width"], sd["use_stereo"] = 192, 640, 1
+    return sd
+
+
+def test_resnet18_import_structure():
+    sd = _resnet18_sd()
+    variables = ti.import_resnet_encoder(sd, 18)
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    ref_vars = enc.init(jax.random.PRNGKey(0), x)
+    assert _shapes(ref_vars["params"]) == _shapes(variables["params"])
+    assert _shapes(ref_vars["batch_stats"]) == _shapes(
+        variables["batch_stats"])
+    feats = enc.apply(variables, x)
+    assert feats[-1].shape == (1, 2, 3, 512)
+    meta = ti.encoder_metadata(sd)
+    assert meta == {"height": 192, "width": 640, "use_stereo": 1}
+
+
+def test_baseline_decoder_import_structure():
+    chans = (64, 64, 128, 256, 512)
+    names = []
+    idx = 0
+    for i in range(4, -1, -1):
+        cin0 = chans[-1] if i == 4 else NUM_CH_DEC[i + 1]
+        names.append((f"decoder.{idx}.conv.conv.weight",
+                      (NUM_CH_DEC[i], cin0, 3, 3)))
+        names.append((f"decoder.{idx}.conv.conv.bias", (NUM_CH_DEC[i],)))
+        idx += 1
+        cin1 = NUM_CH_DEC[i] + (chans[i - 1] if i > 0 else 0)
+        names.append((f"decoder.{idx}.conv.conv.weight",
+                      (NUM_CH_DEC[i], cin1, 3, 3)))
+        names.append((f"decoder.{idx}.conv.conv.bias", (NUM_CH_DEC[i],)))
+        idx += 1
+    for s in range(4):
+        names.append((f"decoder.{idx}.conv.weight", (1, NUM_CH_DEC[s], 3, 3)))
+        names.append((f"decoder.{idx}.conv.bias", (1,)))
+        idx += 1
+    sd = _rand_sd(names)
+    imported = ti.import_kitti_baseline_decoder(sd)
+    dec = DepthDecoder(num_ch_enc=chans)
+    feats = [jnp.zeros((1, 64 // f, 96 // f, c), jnp.float32)
+             for f, c in zip((2, 4, 8, 16, 32), chans)]
+    ref_vars = dec.init(jax.random.PRNGKey(0), feats)
+    assert _shapes(ref_vars["params"]) == _shapes(imported["params"])
+    out = dec.apply(imported, feats)
+    assert out[("disp", 0)].shape == (1, 64, 96, 1)

@@ -1,0 +1,213 @@
+"""KITTI depth decoders: monodepth2 baseline, dense wavelet decoder, and
+the sparse (threshold-gated) wavelet decoder — one flax module per family,
+with dense/sparse sharing a single parameter structure so one trained
+checkpoint drives both (the reference loads the same weights into
+`DepthWaveProgressiveDecoder` and `SparseDepthWaveProgressiveDecoder`,
+`KITTI/networks/decoders/depth_decoder.py:72-168,171-428`).
+
+Output contract (NHWC) mirrors the reference's tuple-keyed dicts:
+  ("disp", s)                     s in 0..3   disparity in [0,1]
+  ("wavelets", s, "LL"/"LH"/"HL"/"HH")        coefficient images
+  ("wavelet_mask", s), ("lowres_mask", s), ... sparse mode only
+  ("total_ops", s), ("total_ops", -1)          sparse mode only
+
+(The reference keys the grand total as the *string* "total_ops"; JAX
+pytree dict keys must sort against each other, so the total is keyed
+("total_ops", -1) here.)
+
+Sparsity is computed via static-shape masked-dense ops (ops/sparse.py):
+bit-equal to the reference engine, and at thresh_ratio <= -1 every mask is
+all-ones so sparse output == dense output exactly (the notebook oracle the
+reference uses for verification).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import sparse as sp
+from ..ops.wavelets import haar_idwt
+from .layers import Conv3x3, ConvBlock, WaveConv, upsample_concat
+
+Array = jnp.ndarray
+
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+class DepthDecoder(nn.Module):
+    """monodepth2 baseline decoder (`depth_decoder.py:18-69`): five
+    upconv stages, per-scale dispconv + sigmoid. ConvBlocks use zero
+    padding (reference default use_refl=False there), dispconvs reflect."""
+    num_ch_enc: Sequence[int]
+    scales: Sequence[int] = (0, 1, 2, 3)
+    use_skips: bool = True
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array]) -> dict:
+        outputs = {}
+        x = features[-1]
+        for i in range(4, -1, -1):
+            x = ConvBlock(NUM_CH_DEC[i], "zero", name=f"upconv_{i}_0")(x)
+            skip = features[i - 1] if (self.use_skips and i > 0) else None
+            x = upsample_concat(x, skip)
+            x = ConvBlock(NUM_CH_DEC[i], "zero", name=f"upconv_{i}_1")(x)
+            if i in self.scales:
+                d = Conv3x3(1, "reflect", name=f"dispconv_{i}")(x)
+                outputs[("disp", i)] = jax.nn.sigmoid(d)
+        return outputs
+
+
+class KittiWaveletDecoder(nn.Module):
+    """DepthWaveProgressiveDecoder + its sparse twin in one module.
+
+    Dense forward (`thresh_ratio=None`): `depth_decoder.py:138-168`.
+    Sparse forward (`thresh_ratio` set): `depth_decoder.py:292-428` —
+    per-scale threshold -> dilated masks -> masked upconvs/waveconvs,
+    with the reference's analytic op counters.
+    """
+    num_ch_enc: Sequence[int]
+    use_skips: bool = True
+
+    def setup(self):
+        blocks = {}
+        for i in range(4, 0, -1):
+            blocks[f"upconv_{i}_0"] = ConvBlock(
+                NUM_CH_DEC[i], "reflect", name=f"upconv_{i}_0")
+            blocks[f"upconv_{i}_1"] = ConvBlock(
+                NUM_CH_DEC[i], "reflect", name=f"upconv_{i}_1")
+            if i == 4:
+                blocks["waveconv_4_ll"] = WaveConv(
+                    NUM_CH_DEC[4] // 4, 1, name="waveconv_4_ll")
+            blocks[f"waveconv_{i}_pos"] = WaveConv(
+                NUM_CH_DEC[i], 3, name=f"waveconv_{i}_pos")
+            blocks[f"waveconv_{i}_neg"] = WaveConv(
+                NUM_CH_DEC[i], 3, name=f"waveconv_{i}_neg")
+        self.blocks = blocks
+
+    def _coefficients(self, x: Array, i: int, want_ll: bool,
+                      in_mask: Optional[Array] = None,
+                      out_mask: Optional[Array] = None):
+        """(LL, HF) heads at scale i: yl = 2^i * sigmoid(ll-head),
+        yh = 2^(i-1) * (sigmoid(pos) - sigmoid(neg))
+        (`depth_decoder.py:126-136`)."""
+        yl = None
+        if want_ll:
+            yl = (2.0 ** i) * self.blocks["waveconv_4_ll"](
+                x, in_mask, out_mask)
+        pos = self.blocks[f"waveconv_{i}_pos"](x, in_mask, out_mask)
+        neg = self.blocks[f"waveconv_{i}_neg"](x, in_mask, out_mask)
+        yh = (2.0 ** (i - 1)) * (pos - neg)          # (N, H, W, 3)
+        return yl, yh
+
+    def _log_coeffs(self, outputs: dict, s: int, yl: Array, yh: Array):
+        outputs[("wavelets", s, "LL")] = yl
+        outputs[("wavelets", s, "LH")] = yh[..., 0:1]
+        outputs[("wavelets", s, "HL")] = yh[..., 1:2]
+        outputs[("wavelets", s, "HH")] = yh[..., 2:3]
+
+    def __call__(self, features: Sequence[Array],
+                 thresh_ratio: Optional[float] = None,
+                 sparse_scales: Sequence[int] = (1, 2, 3)) -> dict:
+        if thresh_ratio is None:
+            return self._dense(features)
+        return self._sparse(features, thresh_ratio, tuple(sparse_scales))
+
+    def _dense(self, features: Sequence[Array]) -> dict:
+        outputs = {}
+        x = features[-1]
+        yl = None
+        for i in range(4, 0, -1):
+            x = self.blocks[f"upconv_{i}_0"](x)
+            skip = features[i - 1] if (self.use_skips and i > 0) else None
+            x = upsample_concat(x, skip)
+            x = self.blocks[f"upconv_{i}_1"](x)
+            new_yl, yh = self._coefficients(x, i, want_ll=(i == 4))
+            if i == 4:
+                yl = new_yl
+            self._log_coeffs(outputs, i - 1, yl, yh)
+            yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2], yh[..., 2:3])
+            outputs[("disp", i - 1)] = jnp.clip(yl / (2.0 ** (i - 1)), 0, 1)
+        return outputs
+
+    def _sparse(self, features: Sequence[Array], thresh_ratio,
+                sparse_scales: tuple) -> dict:
+        outputs = {}
+        x = features[-1]
+        yl = None
+        yh = None
+        total_ops = jnp.float32(0.0)
+        for i in range(4, 0, -1):
+            scale_ops = jnp.float32(0.0)
+            if i == 4:
+                mask = jnp.ones_like(x[..., :1])
+            else:
+                mask = sp.wavelet_threshold_mask(yl, yh, thresh_ratio)
+                scale_ops += sp.ops_threshold(mask)
+            masks = sp.stage_masks(mask)
+            scale_ops += sp.ops_dilation(mask)
+
+            s = i - 1
+            outputs[("lowres_mask", s)] = masks["lowres"]
+            outputs[("upconv0_mask", s)] = masks["upconv0"]
+            outputs[("upsample_mask", s)] = masks["upsample"]
+            outputs[("upconv1_mask", s)] = masks["upconv1"]
+            outputs[("wavelet_mask", s)] = masks["wavelet"]
+
+            skip = features[i - 1] if (self.use_skips and i > 0) else None
+
+            if i in sparse_scales and i != 4:
+                for key in ("lowres", "upconv0", "upsample", "upconv1"):
+                    scale_ops += sp.ops_mask2idxmap(masks[key])
+                ichn0 = x.shape[-1]
+                x = self.blocks[f"upconv_{i}_0"](
+                    x, in_mask=masks["lowres"], out_mask=masks["upconv0"])
+                scale_ops += sp.ops_sparse_conv3x3(
+                    sp.mask_count(masks["upconv0"]), ichn0, NUM_CH_DEC[i])
+                x = upsample_concat(x, skip, out_mask=masks["upsample"])
+                ichn1 = x.shape[-1]
+                x = self.blocks[f"upconv_{i}_1"](
+                    x, out_mask=masks["upconv1"])
+                scale_ops += sp.ops_sparse_conv3x3(
+                    sp.mask_count(masks["upconv1"]), ichn1, NUM_CH_DEC[i])
+                _, yh = self._coefficients(
+                    x, i, want_ll=False,
+                    in_mask=masks["upconv1"], out_mask=masks["wavelet"])
+                n_in = sp.mask_count(masks["upconv1"])
+                n_out = sp.mask_count(masks["wavelet"])
+                for _ in range(2):   # pos + neg heads
+                    scale_ops += sp.ops_sparse_conv1x1(
+                        n_in, NUM_CH_DEC[i], NUM_CH_DEC[i])
+                    scale_ops += sp.ops_sparse_conv3x3(
+                        n_out, NUM_CH_DEC[i], 3)
+            else:
+                scale_ops += sp.ops_dense_conv3x3(x.shape, NUM_CH_DEC[i])
+                x = self.blocks[f"upconv_{i}_0"](x)
+                ux = upsample_concat(x, skip)
+                scale_ops += sp.ops_dense_conv3x3(ux.shape, NUM_CH_DEC[i])
+                x = self.blocks[f"upconv_{i}_1"](ux)
+                want_ll = (i == 4)
+                new_yl, yh = self._coefficients(x, i, want_ll=want_ll)
+                yh = yh * masks["wavelet"]
+                if want_ll:
+                    yl = new_yl
+                    scale_ops += sp.ops_dense_conv1x1(
+                        x.shape, NUM_CH_DEC[4], NUM_CH_DEC[4] // 4)
+                    scale_ops += sp.ops_dense_conv3x3(
+                        x.shape[:3] + (NUM_CH_DEC[4] // 4,), 1)
+                for _ in range(2):
+                    scale_ops += sp.ops_dense_conv1x1(
+                        x.shape, NUM_CH_DEC[i], NUM_CH_DEC[i])
+                    scale_ops += sp.ops_dense_conv3x3(x.shape, 3)
+
+            self._log_coeffs(outputs, s, yl, yh)
+            yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2], yh[..., 2:3])
+            scale_ops += sp.ops_idwt(yl.shape)
+            outputs[("disp", s)] = jnp.clip(yl / (2.0 ** s), 0, 1)
+            outputs[("total_ops", s)] = scale_ops
+            total_ops += scale_ops
+        outputs[("total_ops", -1)] = total_ops
+        return outputs

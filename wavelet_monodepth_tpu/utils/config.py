@@ -1,0 +1,186 @@
+"""Config dataclasses mirroring the reference's argparse surfaces
+flag-for-flag (`KITTI/options.py:15-255`, `NYUv2/train.py:167-199`,
+`NYUv2/evaluate.py:19-51`), with the same defaults and the same
+flag-coupling asserts the reference enforces at trainer construction
+(`trainer.py:35-61`). Serialized as opt.json next to checkpoints like the
+reference (`trainer.py:722-731`, `load_save_utils.py:42-52`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class KittiOptions:
+    # PATHS
+    data_path: str = "kitti_data"
+    depth_data_path: str = "kitti_data"
+    log_dir: str = "log"
+    # TRAINING
+    model_name: str = "mdp"
+    split: str = "eigen_zhou"
+    num_layers: int = 18
+    encoder_type: str = "resnet"           # resnet | mobilenet | mobilenet_light
+    dataset: str = "kitti"                 # kitti | kitti_odom | kitti_depth
+    png: bool = False
+    height: int = 192
+    width: int = 640
+    disparity_smoothness: float = 1e-3
+    smoothness_gamma: float = 2.0
+    scales: tuple = (0, 1, 2, 3)
+    loss_scales: tuple = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    use_stereo: bool = False
+    frame_ids: tuple = (0, -1, 1)
+    use_wavelets: bool = False
+    use_sparse: bool = False
+    threshold: float = 0.05
+    use_depth_hints: bool = False
+    depth_hint_path: Optional[str] = None
+    # OPTIMIZATION
+    batch_size: int = 12
+    learning_rate: float = 1e-4
+    start_epoch: int = 0
+    num_epochs: int = 20
+    scheduler_step_size: int = 15
+    # ABLATION
+    v1_multiscale: bool = False
+    avg_reprojection: bool = False
+    disable_automasking: bool = False
+    no_ssim: bool = False
+    weights_init: str = "pretrained"       # pretrained | scratch
+    pose_model_input: str = "pairs"        # pairs | all
+    pose_model_type: str = "separate_resnet"  # posecnn|separate_resnet|shared
+    # SYSTEM
+    num_workers: int = 4
+    # LOADING
+    load_weights_folder: Optional[str] = None
+    models_to_load: tuple = ("encoder", "depth", "pose_encoder", "pose")
+    # LOGGING
+    log_frequency: int = 250
+    save_frequency: int = 1
+    # EVALUATION
+    eval_stereo: bool = False
+    eval_mono: bool = False
+    disable_median_scaling: bool = False
+    pred_depth_scale_factor: float = 1.0
+    ext_disp_to_eval: Optional[str] = None
+    eval_split: str = "eigen"
+    save_pred_disps: bool = False
+    no_eval: bool = False
+    eval_out_dir: Optional[str] = None
+    post_process: bool = False
+    # TPU-NATIVE additions (not in the reference)
+    data_axis: int = 1                     # data-parallel mesh size
+    bfloat16: bool = False                 # run encoder/decoder matmuls in bf16
+
+    def validate_for_training(self):
+        """The reference's constructor asserts (`trainer.py:35-61`)."""
+        assert not self.use_sparse, \
+            "Training with sparse convolution is not implemented"
+        assert self.height % 32 == 0, "'height' must be a multiple of 32"
+        assert self.width % 32 == 0, "'width' must be a multiple of 32"
+        assert self.frame_ids[0] == 0, "frame_ids must start with 0"
+        if self.use_depth_hints:
+            assert self.use_stereo or "s" in self.frame_ids, \
+                "Can't use depth hints without training from stereo"
+
+    @property
+    def all_frame_ids(self) -> tuple:
+        """frame_ids with 's' appended under stereo (`trainer.py:55-56`)."""
+        if self.use_stereo and "s" not in self.frame_ids:
+            return tuple(self.frame_ids) + ("s",)
+        return tuple(self.frame_ids)
+
+    @property
+    def use_pose_net(self) -> bool:
+        return not (self.use_stereo and tuple(self.frame_ids) == (0,))
+
+
+@dataclass
+class NyuOptions:
+    # mirrors NYUv2/train.py:167-199 / evaluate.py:19-51
+    data_path: str = "nyu_data.zip"
+    log_dir: str = "log"
+    model_name: str = "nyu"
+    encoder_type: str = "densenet"   # densenet|resnet|mobilenet|mobilenet_light
+    num_layers: int = 161
+    epochs: int = 20
+    lr: float = 1e-4
+    batch_size: int = 8
+    use_wavelets: bool = False
+    use_sparse: bool = False
+    use_224: bool = False
+    dw_waveconv: bool = False
+    dw_upconv: bool = False
+    normalize_input: bool = True
+    pretrained_encoder: bool = True
+    disparity: bool = False
+    supervise_LL: bool = False
+    loss_scales: tuple = (0, 1, 2, 3)
+    threshold: float = 0.1
+    log_frequency: int = 300
+    num_workers: int = 4
+    load_weights_folder: Optional[str] = None
+    # TPU-NATIVE additions
+    data_axis: int = 1
+    bfloat16: bool = False
+
+
+def save_opts(opts, path: str):
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(opts), f, indent=2, default=str)
+
+
+def load_opts(cls, path: str):
+    with open(path) as f:
+        d = json.load(f)
+    names = {f.name for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k in names:
+            kw[k] = tuple(v) if isinstance(v, list) else v
+    return cls(**kw)
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
+    for f in dataclasses.fields(cls):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true",
+                                default=f.default)
+        elif isinstance(f.default, tuple):
+            parser.add_argument(name, nargs="+", default=list(f.default))
+        else:
+            typ = type(f.default) if f.default is not None else str
+            parser.add_argument(name, type=typ, default=f.default)
+
+
+def parse_kitti_args(argv=None) -> KittiOptions:
+    parser = argparse.ArgumentParser(description="WaveletMonoDepth-TPU "
+                                                 "KITTI options")
+    _add_dataclass_args(parser, KittiOptions)
+    ns = parser.parse_args(argv)
+    kw = {f.name: getattr(ns, f.name) for f in
+          dataclasses.fields(KittiOptions)}
+    for k in ("scales", "loss_scales", "frame_ids", "models_to_load"):
+        kw[k] = tuple(int(v) if str(v).lstrip("-").isdigit() else v
+                      for v in kw[k])
+    return KittiOptions(**kw)
+
+
+def parse_nyu_args(argv=None) -> NyuOptions:
+    parser = argparse.ArgumentParser(description="WaveletMonoDepth-TPU "
+                                                 "NYUv2 options")
+    _add_dataclass_args(parser, NyuOptions)
+    ns = parser.parse_args(argv)
+    kw = {f.name: getattr(ns, f.name) for f in
+          dataclasses.fields(NyuOptions)}
+    kw["loss_scales"] = tuple(int(v) for v in kw["loss_scales"])
+    return NyuOptions(**kw)
