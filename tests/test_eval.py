@@ -1,0 +1,96 @@
+"""Evaluator tests on synthetic predictions/GT: scoring-loop semantics
+(crop, scaling, clamping), flip post-processing, NYU edge metrics."""
+
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.eval import kitti_eval, nyu_eval
+
+
+def test_perfect_prediction_scores_zero_error():
+    rng = np.random.RandomState(0)
+    gt = rng.rand(3, 96, 320).astype(np.float64) * 60 + 2
+    disps = 1.0 / gt
+    # stereo eval multiplies by 5.4 -> pre-divide to compensate
+    mean_errors, _ = kitti_eval.evaluate_disps(
+        (disps * kitti_eval.STEREO_SCALE_FACTOR).astype(np.float32),
+        list(gt), eval_split="eigen", eval_stereo=True)
+    abs_rel, sq_rel, rmse = mean_errors[0], mean_errors[1], mean_errors[2]
+    assert abs_rel < 1e-3 and rmse < 0.05
+    assert mean_errors[4] > 0.999    # a1
+
+
+def test_median_scaling_mono():
+    rng = np.random.RandomState(1)
+    gt = rng.rand(2, 96, 320).astype(np.float64) * 40 + 2
+    disps = 2.5 / gt   # wrong global scale; median scaling must fix it
+    mean_errors, ratios = kitti_eval.evaluate_disps(
+        disps.astype(np.float32), list(gt), eval_split="eigen",
+        eval_stereo=False)
+    assert abs(ratios.mean() - 2.5) < 1e-2
+    assert mean_errors[0] < 1e-3
+
+
+def test_flip_postprocess_shape_and_identity():
+    rng = np.random.RandomState(2)
+    d = rng.rand(2, 8, 16).astype(np.float64)
+    fused = kitti_eval.batch_post_process_disparity(d, d[:, :, ::-1][:, :, ::-1])
+    assert fused.shape == d.shape
+    np.testing.assert_allclose(fused, d, atol=1e-12)
+
+
+def test_eigen_crop_mask():
+    gt = np.ones((375, 1242)) * 10.0
+    mask = kitti_eval.eigen_crop_mask(gt)
+    assert mask[200, 600]           # inside crop
+    assert not mask[10, 10]         # above crop
+    assert not mask[200, 5]         # left of crop
+
+
+def test_canny_finds_step_edge():
+    img = np.zeros((64, 64))
+    img[:, 32:] = 1.0
+    edges = nyu_eval.canny(img)
+    cols = np.where(edges.any(axis=0))[0]
+    assert len(cols) > 0
+    assert np.all(np.abs(cols - 31.5) < 3)
+
+
+def test_depth_boundary_error_perfect_edges():
+    # depths are strictly positive (the eval clamps to [0.4, 10], and the
+    # normalizer NaNs exact zeros)
+    img = np.full((64, 64), 1.0)
+    img[:, 32:] = 2.0
+    gt_edges = nyu_eval.canny(img / img.max())
+    acc, com, _ = nyu_eval.compute_depth_boundary_error(gt_edges, img)
+    assert acc < 1.0 and com < 1.0   # predicted edges land on GT edges
+
+
+def test_depth_boundary_error_no_gt_edges():
+    acc, com, _ = nyu_eval.compute_depth_boundary_error(
+        np.zeros((32, 32)), np.random.rand(32, 32))
+    assert np.isnan(acc) and np.isnan(com)
+
+
+def test_nyu_metrics_perfect():
+    gt = np.random.RandomState(3).rand(4, 32, 32) * 5 + 1
+    res = nyu_eval.compute_errors_nyu(gt, gt.copy())
+    assert res[0] < 1e-9 and res[1] < 1e-9
+    assert res[3] == 1.0
+
+
+def test_nyu_predict_depth_pipeline():
+    """predict_depth geometry: uint8 480x640 in, clamped metric depth
+    480x640 out, via a fake forward returning constant disp."""
+    import jax.numpy as jnp
+
+    def forward(x, thresh):
+        assert x.shape == (1, 480, 640, 3)
+        # constant 250cm prediction at half resolution
+        return {("disp", 0): jnp.full((1, 240, 320, 1), 250.0)}
+
+    rgb = np.random.RandomState(4).randint(0, 255, (480, 640, 3),
+                                           dtype=np.uint8)
+    pred = nyu_eval.predict_depth(forward, rgb)
+    assert pred.shape == (480, 640)
+    np.testing.assert_allclose(pred, 2.5, atol=1e-5)

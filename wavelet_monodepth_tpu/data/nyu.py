@@ -1,0 +1,136 @@
+"""NYUv2 host-side input pipeline (NHWC numpy).
+
+Rebuild of `NYUv2/data.py`: whole-zip-in-RAM loading with the csv file
+list shuffled at seed 0 (`:71-85`), train augmentations (50% horizontal
+flip, channel swap p=0.1, gamma in (1/0.8, 0.8) -> i.e. uniform in
+(1.25, 0.8), `:22-68,205-214`), and the ToTensor geometry: 16-px border
+crop, image resized to 640x480 (or 224x224), depth to 320x240, train
+depth x1000 clamp [10, 1000] (centimetres), test depth /1000
+(`:107-140`). Note the reference's train/"test" loaders both draw from
+nyu2_train (`:216-223`); we keep that behavior but also expose the real
+test list when present.
+"""
+
+from __future__ import annotations
+
+import random
+from io import BytesIO
+from itertools import permutations
+from typing import Optional
+from zipfile import ZipFile
+
+import numpy as np
+from PIL import Image
+
+_PERMS = list(permutations(range(3), 3))
+
+
+def load_zip_to_mem(zip_file: str, list_name: str = "data/nyu2_train.csv"):
+    """-> (bytes dict, shuffled (image, depth) path pairs)."""
+    zf = ZipFile(zip_file)
+    data = {name: zf.read(name) for name in zf.namelist()}
+    rows = [r.split(",") for r in
+            data[list_name].decode("utf-8").split("\n") if len(r) > 0]
+    try:
+        from sklearn.utils import shuffle
+        rows = shuffle(rows, random_state=0)
+    except ImportError:
+        rng = np.random.RandomState(0)
+        rows = [rows[i] for i in rng.permutation(len(rows))]
+    return data, rows
+
+
+def _to_float(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr / 255.0
+
+
+class NyuDepthDataset:
+    """`depthDatasetMemory` + transform pipeline in one class."""
+
+    def __init__(self, data: dict, pairs, is_train: bool = True,
+                 is_test: bool = False, is_224: bool = False,
+                 gamma: float = 0.8, channel_swap_p: float = 0.1,
+                 seed: int = 0):
+        self.data = data
+        self.pairs = pairs
+        self.is_train = is_train
+        self.is_test = is_test
+        self.is_224 = is_224
+        self.gamma = gamma
+        self.channel_swap_p = channel_swap_p
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> dict:
+        img_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
+        image = Image.open(BytesIO(self.data[img_name])).convert("RGB")
+        depth = Image.open(BytesIO(self.data[depth_name]))
+
+        if self.is_train:
+            if self.rng.random() < 0.5:
+                image = image.transpose(Image.FLIP_LEFT_RIGHT)
+                depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+            if self.rng.random() < self.channel_swap_p:
+                arr = np.asarray(image)
+                perm = _PERMS[self.rng.randint(0, len(_PERMS) - 1)]
+                image = Image.fromarray(arr[..., list(perm)])
+            if self.gamma:
+                g = self.rng.uniform(1.0 / self.gamma, self.gamma)
+                arr = np.asarray(image, np.float32) / 255.0
+                image = Image.fromarray(
+                    (255.0 * np.power(arr, g)).astype(np.uint8))
+
+        crop = 16
+        image = image.crop((crop, crop, 640 - crop, 480 - crop))
+        depth = depth.crop((crop, crop, 640 - crop, 480 - crop))
+        if self.is_224:
+            image = image.resize((224, 224))
+            depth = depth.resize((224, 224))
+        else:
+            image = image.resize((640, 480))
+            depth = depth.resize((320, 240))
+
+        image_arr = _to_float(image)
+        depth_arr = _to_float(depth)
+        if self.is_test:
+            depth_arr = depth_arr / 1000.0
+        else:
+            # [0,1] -> [0,1000] == [0m,10m] in cm, clamped to [0.1m, 10m]
+            depth_arr = np.clip(depth_arr * 1000.0, 10.0, 1000.0)
+        return {"image": image_arr, "depth": depth_arr}
+
+
+def get_training_testing_data(zip_path: str, is_224: bool = False,
+                              seed: int = 0):
+    """`getTrainingTestingData` (`data.py:216-223`) minus the DataLoader:
+    returns (train_dataset, test_dataset) over the same nyu2_train list,
+    matching the reference."""
+    data, pairs = load_zip_to_mem(zip_path)
+    train = NyuDepthDataset(data, pairs, is_train=True, is_224=is_224,
+                            seed=seed)
+    test = NyuDepthDataset(data, pairs, is_train=False, is_224=is_224,
+                           seed=seed)
+    return train, test
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   drop_last: bool = True, seed: int = 0, epochs=None):
+    order = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        if shuffle:
+            rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idx = order[start:start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                continue
+            items = [dataset[int(i)] for i in idx]
+            yield {k: np.stack([it[k] for it in items])
+                   for k in items[0]}
+        epoch += 1

@@ -96,16 +96,16 @@ class KittiTrainSetup:
         out = {}
         new_stats = {}
         if self.num_pose_frames == 2:
-            feats0 = inputs[("color_aug", 0, 0)]
+            feats0 = inputs[("color_aug", "0", 0)]
             for f_i in self.frame_ids[1:]:
                 if f_i == "s":
                     continue
                 if f_i < 0:
                     pose_in = jnp.concatenate(
-                        [inputs[("color_aug", f_i, 0)], feats0], axis=-1)
+                        [inputs[("color_aug", str(f_i), 0)], feats0], axis=-1)
                 else:
                     pose_in = jnp.concatenate(
-                        [feats0, inputs[("color_aug", f_i, 0)]], axis=-1)
+                        [feats0, inputs[("color_aug", str(f_i), 0)]], axis=-1)
                 if opts.pose_model_type == "separate_resnet":
                     variables = {"params": params["pose_encoder"],
                                  "batch_stats":
@@ -142,11 +142,11 @@ class KittiTrainSetup:
                     "batch_stats": batch_stats["encoder"]}
         if train:
             feats, upd = self.encoder.apply(
-                enc_vars, inputs[("color_aug", 0, 0)], train=True,
+                enc_vars, inputs[("color_aug", "0", 0)], train=True,
                 mutable=["batch_stats"])
             new_stats["encoder"] = upd["batch_stats"]
         else:
-            feats = self.encoder.apply(enc_vars, inputs[("color_aug", 0, 0)])
+            feats = self.encoder.apply(enc_vars, inputs[("color_aug", "0", 0)])
         outputs = self.decoder.apply({"params": params["depth"]}, feats)
 
         pose_T = None
@@ -210,9 +210,10 @@ def synthetic_batch(opts: KittiOptions, batch_size: int,
     for fid in opts.all_frame_ids:
         for s in opts.scales:
             h, w = H // 2 ** s, W // 2 ** s
-            inputs[("color", fid, s)] = jnp.asarray(
+            inputs[("color", str(fid), s)] = jnp.asarray(
                 rs.rand(batch_size, h, w, 3), jnp.float32)
-            inputs[("color_aug", fid, s)] = inputs[("color", fid, s)]
+            inputs[("color_aug", str(fid), s)] = inputs[("color", str(fid),
+                                                         s)]
     for s in opts.scales:
         K = np.eye(4, dtype=np.float32)
         K[0, 0], K[1, 1] = 0.58 * (W // 2 ** s), 1.92 * (H // 2 ** s)
@@ -223,11 +224,11 @@ def synthetic_batch(opts: KittiOptions, batch_size: int,
     if opts.use_stereo:
         T = np.eye(4, dtype=np.float32)
         T[0, 3] = 0.1
-        inputs["stereo_T"] = jnp.tile(jnp.asarray(T)[None],
+        inputs[("stereo_T",)] = jnp.tile(jnp.asarray(T)[None],
                                       (batch_size, 1, 1))
     if opts.use_depth_hints:
-        inputs["depth_hint"] = jnp.asarray(
+        inputs[("depth_hint",)] = jnp.asarray(
             rs.rand(batch_size, H, W, 1) * 10 + 1, jnp.float32)
-        inputs["depth_hint_mask"] = jnp.ones((batch_size, H, W, 1),
+        inputs[("depth_hint_mask",)] = jnp.ones((batch_size, H, W, 1),
                                              jnp.float32)
     return inputs

@@ -61,21 +61,21 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         w = depth.shape[2]
         for frame_id in frame_ids[1:]:
             if frame_id == "s":
-                T = inputs["stereo_T"]
+                T = inputs[("stereo_T",)]
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
             cam_points = backproject_depth(
                 depth, inputs[("inv_K", source_scale)])
             pix = project_3d(cam_points, inputs[("K", source_scale)], T,
                              h, w)
-            outputs[("sample", frame_id, scale)] = pix
-            outputs[("color", frame_id, scale)] = grid_sample_border(
-                inputs[("color", frame_id, source_scale)], pix)
+            outputs[("sample", str(frame_id), scale)] = pix
+            outputs[("color", str(frame_id), scale)] = grid_sample_border(
+                inputs[("color", str(frame_id), source_scale)], pix)
 
     if opts.use_depth_hints and "s" in frame_ids[1:]:
-        depth = inputs["depth_hint"]
+        depth = inputs[("depth_hint",)]
         cam_points = backproject_depth(depth, inputs[("inv_K", 0)])
-        pix = project_3d(cam_points, inputs[("K", 0)], inputs["stereo_T"],
+        pix = project_3d(cam_points, inputs[("K", 0)], inputs[("stereo_T",)],
                          depth.shape[1], depth.shape[2])
         outputs[("color_depth_hint", "s", 0)] = grid_sample_border(
             inputs[("color", "s", 0)], pix)
@@ -129,26 +129,26 @@ def compute_losses_hints(inputs: Dict, outputs: Dict, opts,
     if opts.use_depth_hints:
         pred = outputs[("color_depth_hint", "s", 0)]
         hint_reproj = compute_reprojection_loss(
-            pred, inputs[("color", 0, 0)], opts.no_ssim)
+            pred, inputs[("color", "0", 0)], opts.no_ssim)
         hint_reproj = hint_reproj + 1000.0 * (1.0 -
-                                              inputs["depth_hint_mask"])
+                                              inputs[("depth_hint_mask",)])
     else:
         hint_reproj = None
 
     for scale in opts.loss_scales:
         source_scale = scale if opts.v1_multiscale else 0
         disp = outputs[("disp", scale)]
-        color = inputs[("color", 0, scale)]
-        target = inputs[("color", 0, source_scale)]
+        color = inputs[("color", "0", scale)]
+        target = inputs[("color", "0", source_scale)]
 
         reproj = [compute_reprojection_loss(
-            outputs[("color", fid, scale)], target, opts.no_ssim)
+            outputs[("color", str(fid), scale)], target, opts.no_ssim)
             for fid in frame_ids[1:]]
         reproj = jnp.concatenate(reproj, axis=-1)
 
         if not opts.disable_automasking:
             ident = [compute_reprojection_loss(
-                inputs[("color", fid, source_scale)], target, opts.no_ssim)
+                inputs[("color", str(fid), source_scale)], target, opts.no_ssim)
                 for fid in frame_ids[1:]]
             ident = jnp.concatenate(ident, axis=-1)
             if opts.avg_reprojection:
@@ -173,15 +173,15 @@ def compute_losses_hints(inputs: Dict, outputs: Dict, opts,
         reproj_term = jnp.sum(reproj * reproj_mask) / (
             jnp.sum(reproj_mask) + 1e-7)
         losses[f"reproj_loss/{scale}"] = reproj_term
-        outputs[f"identity_selection/{scale}"] = 1.0 - reproj_mask
+        outputs[("identity_selection", scale)] = 1.0 - reproj_mask
 
         hint_term = 0.0
         if opts.use_depth_hints:
             hint_loss = compute_proxy_supervised_loss(
-                outputs[("depth", 0, scale)], inputs["depth_hint"],
-                inputs["depth_hint_mask"], hint_mask)
+                outputs[("depth", 0, scale)], inputs[("depth_hint",)],
+                inputs[("depth_hint_mask",)], hint_mask)
             hint_term = jnp.sum(hint_loss) / (jnp.sum(hint_mask) + 1e-7)
-            outputs[f"depth_hint_pixels/{scale}"] = hint_mask
+            outputs[("depth_hint_pixels", scale)] = hint_mask
             losses[f"depth_hint_loss/{scale}"] = hint_term
 
         loss = reproj_term + hint_term
@@ -213,11 +213,11 @@ def compute_losses_mdp(inputs: Dict, outputs: Dict, opts,
         if ("disp", scale) not in outputs:
             continue
         disp = outputs[("disp", scale)]
-        color = inputs[("color", 0, scale)]
-        target = inputs[("color", 0, source_scale)]
+        color = inputs[("color", "0", scale)]
+        target = inputs[("color", "0", source_scale)]
 
         reproj = jnp.concatenate(
-            [compute_reprojection_loss(outputs[("color", fid, scale)],
+            [compute_reprojection_loss(outputs[("color", str(fid), scale)],
                                        target, opts.no_ssim)
              for fid in frame_ids[1:]], axis=-1)
         if opts.avg_reprojection:
@@ -226,7 +226,7 @@ def compute_losses_mdp(inputs: Dict, outputs: Dict, opts,
         if not opts.disable_automasking:
             ident = jnp.concatenate(
                 [compute_reprojection_loss(
-                    inputs[("color", fid, source_scale)], target,
+                    inputs[("color", str(fid), source_scale)], target,
                     opts.no_ssim) for fid in frame_ids[1:]], axis=-1)
             if opts.avg_reprojection:
                 ident = jnp.mean(ident, axis=-1, keepdims=True)
@@ -243,7 +243,7 @@ def compute_losses_mdp(inputs: Dict, outputs: Dict, opts,
             to_optimise = jnp.min(combined, axis=-1)
             idxs = jnp.argmin(combined, axis=-1)
             if not opts.disable_automasking:
-                outputs[f"identity_selection/{scale}"] = (
+                outputs[("identity_selection", scale)] = (
                     idxs >= ident.shape[-1]).astype(disp.dtype)
 
         loss = jnp.mean(to_optimise)

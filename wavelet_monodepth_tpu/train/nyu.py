@@ -1,0 +1,134 @@
+"""NYUv2 supervised training: jitted train/val steps.
+
+Rebuild of `NYUv2/train.py:165-352`: Adam(lr) without weight decay
+(`:241`), forward Haar DWT(J=4) on the normalized GT depth for
+coefficient supervision/logging (`:258,288-302`), loss =
+sum_s 0.1 * L1(bilinear-up(disp_s, x2^s, align_corners=True), depth_n)
+over loss scales (`:298-314`), optional LL supervision /2^4 (`:316-323`).
+`--disparity` trains on DepthNorm(depth) = 10/depth (`NYUv2/utils.py:24`,
+with train depths in centimetres: maxDepth=1000cm/100 = 10m).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.factory import make_nyu_decoder, make_nyu_encoder
+from ..ops.image import resize_bilinear
+from ..ops.wavelets import haar_dwt_J
+from ..utils.config import NyuOptions
+
+Array = jnp.ndarray
+
+
+def depth_norm(depth: Array, max_depth: float = 10.0) -> Array:
+    return max_depth / depth
+
+
+@flax.struct.dataclass
+class NyuTrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class NyuTrainSetup:
+    def __init__(self, opts: NyuOptions):
+        self.opts = opts
+        self.encoder, self.num_ch_enc = make_nyu_encoder(opts)
+        self.decoder = make_nyu_decoder(self.num_ch_enc, opts)
+        self.optimizer = optax.adam(opts.lr, b1=0.9, b2=0.999, eps=1e-8)
+        self.input_hw = (224, 224) if opts.use_224 else (480, 640)
+        self.depth_hw = (224, 224) if opts.use_224 else (240, 320)
+
+    def init_state(self, rng: jax.Array) -> NyuTrainState:
+        h, w = self.input_hw
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        r1, r2 = jax.random.split(rng)
+        enc_vars = self.encoder.init(r1, x)
+        feats = self.encoder.apply(enc_vars, x)
+        dec_vars = self.decoder.init(r2, feats)
+        params = {"encoder": enc_vars["params"],
+                  "decoder": dec_vars["params"]}
+        stats = {"encoder": enc_vars.get("batch_stats", {})}
+        return NyuTrainState(params=params, batch_stats=stats,
+                             opt_state=self.optimizer.init(params),
+                             step=jnp.int32(0))
+
+    def forward(self, params, batch_stats, image, train: bool):
+        enc_vars = {"params": params["encoder"],
+                    "batch_stats": batch_stats["encoder"]}
+        new_stats = dict(batch_stats)
+        if train:
+            feats, upd = self.encoder.apply(enc_vars, image, train=True,
+                                            mutable=["batch_stats"])
+            new_stats["encoder"] = upd["batch_stats"]
+        else:
+            feats = self.encoder.apply(enc_vars, image)
+        outputs = self.decoder.apply({"params": params["decoder"]}, feats)
+        return outputs, new_stats
+
+    def compute_losses(self, outputs: Dict, depth_n: Array) -> Dict:
+        opts = self.opts
+        losses: Dict = {}
+        total = 0.0
+        H, W = depth_n.shape[1:3]
+        out_scales = [s for s in range(4) if ("disp", s) in outputs]
+        for scale in out_scales:
+            pred = outputs[("disp", scale)]
+            if scale > 0:
+                pred = resize_bilinear(pred, pred.shape[1] * 2 ** scale,
+                                       pred.shape[2] * 2 ** scale,
+                                       align_corners=True)
+            l_depth = jnp.mean(jnp.abs(pred - depth_n))
+            loss = 0.1 * l_depth
+            if scale in opts.loss_scales:
+                total = total + loss
+            losses[f"loss/{scale}"] = loss
+            losses[f"loss_depth/{scale}"] = l_depth
+        if opts.use_wavelets and ("wavelets", 3, "LL") in outputs:
+            yl_gt, _ = haar_dwt_J(depth_n, 4)
+            l_ll = jnp.mean(jnp.abs(outputs[("wavelets", 3, "LL")]
+                                    - yl_gt)) / (2.0 ** 4)
+            losses["loss_LL3"] = l_ll
+            if opts.supervise_LL:
+                total = total + l_ll
+        losses["loss"] = total
+        return losses
+
+    def make_train_step(self):
+        def step(state: NyuTrainState, image: Array, depth: Array):
+            depth_n = (depth_norm(depth) if self.opts.disparity else depth)
+
+            def loss_fn(params):
+                outputs, new_stats = self.forward(params,
+                                                  state.batch_stats,
+                                                  image, train=True)
+                losses = self.compute_losses(outputs, depth_n)
+                return losses["loss"], (losses, new_stats)
+
+            grads, (losses, new_stats) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return NyuTrainState(params=params, batch_stats=new_stats,
+                                 opt_state=opt_state,
+                                 step=state.step + 1), losses
+        return step
+
+    def jit_train_step(self):
+        return jax.jit(self.make_train_step(), donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def step(state: NyuTrainState, image: Array):
+            outputs, _ = self.forward(state.params, state.batch_stats,
+                                      image, train=False)
+            return outputs
+        return step

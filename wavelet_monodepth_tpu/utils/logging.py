@@ -1,0 +1,142 @@
+"""TensorBoard + console logging.
+
+Equivalent of the reference's tensorboardX usage (`trainer.py:141-143,
+661-720`; `NYUv2/train.py:113-163`): separate train/val writers, loss
+scalars, up to 4 images per batch (inputs, warps, automask, disparity),
+per-scale wavelet coefficient images/histograms/min-max scalars —
+the coefficient histograms are diagnostically load-bearing for sparsity
+behavior (SURVEY §5.5) and are kept.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _to_np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def normalize_image_np(x: np.ndarray) -> np.ndarray:
+    mi, ma = x.min(), x.max()
+    return (x - mi) / (ma - mi + 1e-5)
+
+
+class SummaryLogger:
+    """Thin wrapper; becomes a no-op if tensorboardX is unavailable."""
+
+    def __init__(self, log_path: str, modes=("train", "val")):
+        self.writers = {}
+        try:
+            from tensorboardX import SummaryWriter
+            for m in modes:
+                self.writers[m] = SummaryWriter(os.path.join(log_path, m))
+        except ImportError:
+            pass
+
+    def scalars(self, mode: str, scalars: Dict[str, float], step: int):
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        for k, v in scalars.items():
+            w.add_scalar(str(k), float(v), step)
+
+    def image(self, mode: str, tag: str, img_hwc: np.ndarray, step: int):
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        img = _to_np(img_hwc)
+        if img.ndim == 3:
+            img = img.transpose(2, 0, 1)
+        w.add_image(tag, img, step)
+
+    def histogram(self, mode: str, tag: str, values, step: int):
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        w.add_histogram(tag, _to_np(values), step)
+
+    def log_kitti_visuals(self, mode: str, inputs: Dict, outputs: Dict,
+                          opts, step: int, max_images: int = 4):
+        """`trainer.py:661-720` image set."""
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        n = min(max_images, next(iter(inputs.values())).shape[0])
+        for j in range(n):
+            for fid in opts.all_frame_ids:
+                key = ("color", str(fid), 0)
+                if key in inputs:
+                    self.image(mode, f"color_{fid}_0/{j}",
+                               _to_np(inputs[key][j]), step)
+                okey = ("color", str(fid), 0)
+                if okey in outputs:
+                    self.image(mode, f"color_pred_{fid}_0/{j}",
+                               _to_np(outputs[okey][j]), step)
+            for scale in opts.scales:
+                sel = ("identity_selection", scale)
+                if sel in outputs:
+                    self.image(mode, f"automask_{scale}/{j}",
+                               _to_np(outputs[sel][j]), step)
+                if opts.use_wavelets:
+                    for coeff in ("LL", "LH", "HL", "HH"):
+                        key = ("wavelets", scale, coeff)
+                        if key in outputs and outputs[key] is not None:
+                            img = _to_np(outputs[key][j])
+                            self.image(mode, f"{coeff}_{scale}/{j}",
+                                       normalize_image_np(
+                                           img.mean(-1, keepdims=True)),
+                                       step)
+                            self.histogram(mode,
+                                           f"hist_{coeff}_{scale}/{j}",
+                                           img, step)
+                            self.scalars(mode,
+                                         {f"min/{coeff}_{scale}/{j}":
+                                              img.min(),
+                                          f"max/{coeff}_{scale}/{j}":
+                                              img.max()}, step)
+                dkey = ("disp", scale)
+                if dkey in outputs:
+                    self.image(mode, f"disp_{scale}/{j}",
+                               normalize_image_np(
+                                   _to_np(outputs[dkey][j])), step)
+
+    def close(self):
+        for w in self.writers.values():
+            w.close()
+
+
+def sec_to_hm_str(t: float) -> str:
+    """`KITTI/utils.py:37-48`."""
+    t = int(t)
+    s = t % 60
+    t //= 60
+    m = t % 60
+    t //= 60
+    return f"{t:02d}h{m:02d}m{s:02d}s"
+
+
+class TrainTimer:
+    """Wall-clock stage timing like `trainer.py:202-226`."""
+
+    def __init__(self, num_total_steps: int):
+        self.start_time = time.time()
+        self.num_total_steps = num_total_steps
+
+    def log_line(self, epoch: int, batch_idx: int, step: int,
+                 batch_size: int, durations: Dict[str, float],
+                 loss: float) -> str:
+        samples_per_sec = batch_size / max(durations.get("batch_process",
+                                                         1e-9), 1e-9)
+        elapsed = time.time() - self.start_time
+        left = (self.num_total_steps / step - 1.0) * elapsed if step else 0
+        return (f"epoch {epoch:>3} | batch {batch_idx:>6} | "
+                f"forward: {durations.get('batch_process', 0):2.1f}s "
+                f"(examples/s: {samples_per_sec:5.1f}) | "
+                f"dataloading: {durations.get('dataloading', 0):2.1f}s | "
+                f"loss: {loss:.5f} | elapsed: {sec_to_hm_str(elapsed)} | "
+                f"left: {sec_to_hm_str(left)}")
