@@ -121,8 +121,14 @@ def test_nyu_dataset(nyu_zip):
     assert item["image"].shape == (480, 640, 3)
     assert item["depth"].shape == (240, 320, 1)
     assert item["depth"].min() >= 10.0 and item["depth"].max() <= 1000.0
+    # the reference's "testing" loader also scales x1000 (is_test=False
+    # in getTrainingTestingData, data.py:216-223); the /1000 path is only
+    # used by evaluate.py
     t_item = test[0]
-    assert t_item["depth"].max() <= 255.0 / 1000.0 + 1e-6
+    assert 10.0 <= t_item["depth"].max() <= 1000.0
+    real_test = nyu_data.NyuDepthDataset(test.data, test.pairs,
+                                         is_train=False, is_test=True)
+    assert real_test[0]["depth"].max() <= 255.0 / 1000.0 + 1e-6
 
 
 def test_nyu_batch_iterator(nyu_zip):

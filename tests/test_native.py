@@ -1,0 +1,77 @@
+"""Native C++ runtime (libwmd_native.so) vs the Python/JAX references."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from wavelet_monodepth_tpu.data import native_loader
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available() and
+    subprocess.call(["sh", os.path.join(os.path.dirname(__file__), "..",
+                                        "native", "build.sh")]) != 0,
+    reason="native library unavailable and unbuildable")
+
+
+def test_decode_resize_batch(tmp_path):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    out = native_loader.decode_resize_batch(paths, 48, 64,
+                                            flips=[False, True, False])
+    assert out.shape == (3, 48, 64, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # flipped image must differ from unflipped decode of the same file
+    unflipped = native_loader.decode_resize_batch([paths[1]], 48, 64)
+    np.testing.assert_allclose(out[1], unflipped[0, :, ::-1], atol=1e-6)
+
+
+def test_decode_missing_file_raises(tmp_path):
+    with pytest.raises(IOError):
+        native_loader.decode_resize_batch([str(tmp_path / "nope.png")],
+                                          32, 32)
+
+
+def test_haar_roundtrip_matches_jax():
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.ops import wavelets
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 24).astype(np.float32)
+    ll, lh, hl, hh = native_loader.haar_dwt2(x)
+    jll, jlh, jhl, jhh = wavelets.haar_dwt(
+        jnp.asarray(x)[None, ..., None])
+    np.testing.assert_allclose(ll, np.asarray(jll)[0, ..., 0], atol=1e-5)
+    np.testing.assert_allclose(hh, np.asarray(jhh)[0, ..., 0], atol=1e-5)
+    rec = native_loader.haar_idwt2(ll, lh, hl, hh)
+    np.testing.assert_allclose(rec, x, atol=1e-5)
+
+
+def test_velodyne_to_depth_matches_numpy():
+    from wavelet_monodepth_tpu.data.kitti_utils import generate_depth_map
+    # synthetic projection: identity rect, simple pinhole
+    P = np.array([[100, 0, 160, 0],
+                  [0, 100, 48, 0],
+                  [0, 0, 1, 0]], dtype=np.float64)
+    # velo->cam for this test: x forward -> z depth
+    R = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                  [0, 0, 0, 1.0]])
+    P_velo2im = P @ R
+    rng = np.random.RandomState(2)
+    pts = np.zeros((50, 4), np.float32)
+    pts[:, 0] = rng.rand(50) * 20 + 1      # forward
+    pts[:, 1] = rng.randn(50) * 2          # left
+    pts[:, 2] = rng.randn(50) * 0.5        # up
+    pts[:, 3] = 1
+    depth = native_loader.velodyne_to_depth(pts, P_velo2im, (96, 320))
+    assert depth.shape == (96, 320)
+    assert (depth > 0).sum() > 0
+    assert depth.max() <= 21.5

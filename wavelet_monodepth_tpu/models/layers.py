@@ -40,7 +40,12 @@ def _torch_bias_init(fan_in: int):
 
 
 class Conv3x3(nn.Module):
-    """Pad-then-conv 3x3 (`KITTI/layers.py:146-161`)."""
+    """Pad-then-conv 3x3 (`KITTI/layers.py:146-161`).
+
+    With `use_pallas=True` (and an out_mask, batch 1) the compute routes
+    through the tile-skipping Pallas kernel (ops/pallas_conv.py) —
+    bit-compatible with the XLA path, but inactive tiles skip DMA+MXU.
+    """
     features: int
     pad_mode: str = "reflect"
     use_bias: bool = True
@@ -48,13 +53,23 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
                  out_mask: Optional[Array] = None,
-                 nonlin: Optional[Callable[[Array], Array]] = None) -> Array:
+                 nonlin: Optional[Callable[[Array], Array]] = None,
+                 use_pallas: bool = False) -> Array:
         cin = x.shape[-1]
         w = self.param("kernel", _torch_conv_init, (3, 3, cin, self.features))
         b = (self.param("bias", _torch_bias_init(9 * cin), (self.features,))
              if self.use_bias else None)
         if in_mask is not None:
             x = x * in_mask
+        if use_pallas and out_mask is not None and x.shape[0] == 1:
+            from ..ops import pallas_conv as pc
+            pnonlin = {jax.nn.elu: pc.elu,
+                       jax.nn.sigmoid: pc.sigmoid}.get(nonlin, nonlin)
+            bz = b if b is not None else jnp.zeros((self.features,),
+                                                   x.dtype)
+            y = pc.conv3x3_tile_sparse(x[0], w, bz, out_mask[0],
+                                       self.pad_mode, pnonlin)[None]
+            return y
         y = convops.conv3x3(x, w, b, self.pad_mode)
         if nonlin is not None:
             y = nonlin(y)

@@ -1,0 +1,170 @@
+"""Pallas tile-sparse 3x3 convolution — the kernel that turns wavelet
+coefficient sparsity into wall-clock savings on TPU.
+
+The reference's sparse engine gathers individual active pixels
+(`KITTI/layers.py:409-480`) — per-pixel gather/scatter is hostile to the
+TPU's (8,128) vector tiles, and data-dependent shapes don't exist under
+XLA. Instead the image is cut into row stripes of TH rows; a per-stripe
+activity flag is reduced from the output mask on the XLA side and
+prefetched as scalars; inactive stripes skip BOTH the input DMA (the
+stripe's (TH+2, W+2, C) halo window never leaves HBM) and the 9-shift
+MXU matmuls, writing zeros. Active stripes compute the exact
+masked-dense result (ops/sparse.py), so the kernel is bit-compatible
+with the oracle at every threshold.
+
+Row stripes (not 2D tiles) because Mosaic only supports dynamic
+slicing/DMA on the outermost memref dimension; a (TH, TW)+halo window
+needs lane-unaligned slices that fail to lower. Stripe compute: pixels
+on sublanes, channels on lanes, conv as 9 accumulated
+(TH*W, Cin) @ (Cin, Cout) dots with bias/nonlinearity/output-mask fused
+into the epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .image import pad2d
+
+Array = jnp.ndarray
+
+
+# Mosaic-safe nonlinearities (jax.nn.elu lowers to expm1, which Pallas TPU
+# does not implement).
+def elu(x: Array) -> Array:
+    return jnp.where(x > 0, x, jnp.exp(x) - 1.0)
+
+
+def sigmoid(x: Array) -> Array:
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def leaky_relu_01(x: Array) -> Array:
+    return jnp.where(x > 0, x, 0.1 * x)
+
+
+def leaky_relu_02(x: Array) -> Array:
+    return jnp.where(x > 0, x, 0.2 * x)
+
+
+def _conv_kernel(nonlin, th, w_img, cin, cout,
+                 flags_ref, xp_ref, w_ref, b_ref, mask_ref, out_ref,
+                 xs_ref, sem):
+    i = pl.program_id(0)
+    flag = flags_ref[i]
+
+    @pl.when(flag > 0)
+    def _active():
+        dma = pltpu.make_async_copy(
+            xp_ref.at[pl.ds(i * th, th + 2)], xs_ref, sem)
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((th * w_img, cout), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                patch = xs_ref[ky:ky + th, kx:kx + w_img, :]
+                acc = acc + jnp.dot(
+                    patch.reshape(th * w_img, cin), w_ref[ky * 3 + kx],
+                    preferred_element_type=jnp.float32)
+        y = acc.reshape(th, w_img, cout) + b_ref[0, 0]
+        if nonlin is not None:
+            y = nonlin(y)
+        out_ref[...] = y * mask_ref[...]
+
+    @pl.when(flag == 0)
+    def _inactive():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+def stripe_flags(out_mask: Array, th: int) -> Array:
+    """Per-row-stripe any-active flags from an (H, W, 1) {0,1} mask.
+    Returns int32 (nH,)."""
+    h = out_mask.shape[0]
+    hp = -(-h // th) * th
+    m = jnp.pad(out_mask[..., 0], ((0, hp - h), (0, 0)))
+    m = m.reshape(hp // th, th, -1)
+    return (jnp.max(m, axis=(1, 2)) > 0).astype(jnp.int32)
+
+
+# kept for API compatibility with earlier callers/tests
+def tile_flags(out_mask: Array, th: int, tw: int) -> Array:
+    h, w, _ = out_mask.shape
+    hp, wp = -(-h // th) * th, -(-w // tw) * tw
+    m = jnp.pad(out_mask[..., 0], ((0, hp - h), (0, wp - w)))
+    m = m.reshape(hp // th, th, wp // tw, tw)
+    return (jnp.max(m, axis=(1, 3)) > 0).astype(jnp.int32).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
+                                             "interpret"))
+def conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
+                        pad_mode: str = "reflect",
+                        nonlin: Optional[Callable] = None,
+                        th: int = 8, interpret: bool = False) -> Array:
+    """Masked 3x3 conv with row-stripe skipping.
+
+    Args:
+      x: (H, W, Cin) — already input-masked if the stage requires it.
+      w: (3, 3, Cin, Cout) HWIO. b: (Cout,).
+      out_mask: (H, W, 1) {0,1} float.
+    Returns (H, W, Cout) float32, equal to
+    `nonlin(conv3x3(pad(x), w, b)) * out_mask`.
+    """
+    h, w_img, cin = x.shape
+    cout = w.shape[-1]
+    hp = -(-h // th) * th
+
+    # The manual stripe DMA requires the source window's trailing dims to
+    # coincide with the physical (padded) layout: channels padded to the
+    # 128-lane width, W+2 padded to a sublane multiple of 8. Zero channels
+    # contribute nothing to the dots.
+    cpad = 128 if not interpret else cin
+    wpad = (-(-(w_img + 2) // 8) * 8) if not interpret else (w_img + 2)
+
+    xp = pad2d(x[None], 1, pad_mode)[0]                  # (H+2, W+2, C)
+    xp = jnp.pad(xp, ((0, hp - h), (0, wpad - (w_img + 2)),
+                      (0, cpad - cin)))                  # (Hp+2, Wp, 128)
+    maskp = jnp.pad(out_mask, ((0, hp - h), (0, 0), (0, 0)))
+    flags = stripe_flags(out_mask, th)
+
+    n_h = hp // th
+    wk = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0))
+                 ).reshape(9, cpad, cout)
+    bk = b.reshape(1, 1, cout)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_h,),
+        in_specs=[
+            # stays in HBM: inactive stripes never DMA their window, and
+            # VMEM-resident inputs can't be sliced at runtime by Mosaic
+            pl.BlockSpec(memory_space=pltpu.HBM),
+
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
+            pl.BlockSpec((th, w_img, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # out mask
+        ],
+        out_specs=pl.BlockSpec((th, w_img, cout), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wpad, cpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(_conv_kernel, nonlin, th, w_img, cpad,
+                               cout)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, w_img, cout), jnp.float32),
+        interpret=interpret,
+    )(flags, xp, wk, bk, maskp)
+    return out[:h]

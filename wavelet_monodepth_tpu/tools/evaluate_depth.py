@@ -1,0 +1,136 @@
+"""KITTI eigen-split evaluation CLI — `KITTI/evaluate_depth.py` equivalent.
+
+Loads a checkpoint (reference .pth via --torch_model_path or our msgpack
+via --load_weights_folder), predicts disparities over the eval split
+(dense with optional flip post-processing, or sparse with density/op
+accounting), scores against gt_depths.npz, prints the 7-metric table.
+
+Usage:
+  python -m wavelet_monodepth_tpu.tools.evaluate_depth --data_path ... \
+      --torch_model_path weights/ --eval_stereo --use_wavelets \
+      [--use_sparse --threshold 0.05] [--post_process]
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _load_forward(opts, torch_model_path):
+    import jax
+    import jax.numpy as jnp
+    from ..models.factory import make_depth_decoder, make_depth_encoder
+
+    encoder, num_ch_enc = make_depth_encoder(opts)
+    decoder = make_depth_decoder(num_ch_enc, opts)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, opts.height, opts.width, 3), jnp.float32)
+    enc_vars = encoder.init(rng, x)
+    feats = encoder.apply(enc_vars, x)
+    dec_vars = decoder.init(rng, feats)
+
+    if torch_model_path:
+        from . import torch_import as ti
+        enc_sd = ti.load_pth(os.path.join(torch_model_path, "encoder.pth"))
+        dec_sd = ti.load_pth(os.path.join(torch_model_path, "depth.pth"))
+        enc_vars = ti.import_resnet_encoder(enc_sd, opts.num_layers)
+        if opts.use_wavelets:
+            dec_vars = ti.import_kitti_wavelet_decoder(dec_sd)
+        else:
+            dec_vars = ti.import_kitti_baseline_decoder(
+                dec_sd, tuple(opts.scales))
+    elif opts.load_weights_folder:
+        import flax.serialization
+        with open(os.path.join(opts.load_weights_folder,
+                               "state.msgpack"), "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        enc_vars = {
+            "params": flax.serialization.from_state_dict(
+                enc_vars["params"], raw["params"]["encoder"]),
+            "batch_stats": flax.serialization.from_state_dict(
+                enc_vars["batch_stats"], raw["batch_stats"]["encoder"])}
+        dec_vars = {"params": flax.serialization.from_state_dict(
+            dec_vars["params"], raw["params"]["depth"])}
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("thresh",))
+    def forward(image, thresh=None):
+        feats = encoder.apply(enc_vars, image)
+        if thresh is None or not opts.use_wavelets:
+            return decoder.apply(dec_vars, feats)
+        return decoder.apply(dec_vars, feats, thresh_ratio=thresh)
+
+    return forward
+
+
+def main(argv=None):
+    from ..data import kitti as kitti_data
+    from ..eval import kitti_eval
+    from ..utils.config import parse_kitti_args
+
+    opts = parse_kitti_args(argv)
+    assert int(opts.eval_mono) + int(opts.eval_stereo) == 1, \
+        "choose --eval_mono or --eval_stereo"
+
+    splits_dir = os.environ.get(
+        "WMD_SPLITS_DIR", os.path.join(opts.data_path, "splits"))
+    split_dir = os.path.join(splits_dir, opts.eval_split)
+
+    if opts.ext_disp_to_eval is None:
+        files = kitti_data.readlines(
+            os.path.join(split_dir, "test_files.txt"))
+        torch_model_path = getattr(opts, "torch_model_path", None) or \
+            os.environ.get("WMD_TORCH_MODEL_PATH")
+        forward = _load_forward(opts, torch_model_path)
+
+        ds = kitti_data.KittiRawDataset(
+            opts.data_path, files, opts.height, opts.width, [0],
+            list(opts.scales), is_train=False,
+            img_ext=".png" if opts.png else ".jpg")
+
+        def images():
+            for i in range(len(ds)):
+                yield ds[i][("color", "0", 0)]
+
+        thresh = opts.threshold if (opts.use_sparse
+                                    and opts.use_wavelets) else None
+        pred_disps, info = kitti_eval.predict_disps(
+            forward, images(), opts.min_depth, opts.max_depth,
+            post_process=opts.post_process, sparse_threshold=thresh)
+        if info:
+            print(f"total_ops: mean {info['total_ops_mean'] / 1e9:2.3f} "
+                  f"GFLOPs, density: {100 * info['density_mean']:.3f}%")
+    else:
+        print(f"-> Loading predictions from {opts.ext_disp_to_eval}")
+        pred_disps = np.load(opts.ext_disp_to_eval)
+
+    if opts.save_pred_disps and opts.load_weights_folder:
+        out = os.path.join(opts.load_weights_folder,
+                           f"disps_{opts.eval_split}_split.npy")
+        np.save(out, pred_disps)
+
+    if opts.no_eval:
+        print("-> Evaluation disabled. Done.")
+        return
+
+    gt_path = os.path.join(split_dir, "gt_depths.npz")
+    gt_depths = np.load(gt_path, fix_imports=True, encoding="latin1",
+                        allow_pickle=True)["data"]
+    mean_errors, ratios = kitti_eval.evaluate_disps(
+        pred_disps, gt_depths, eval_split=opts.eval_split,
+        eval_stereo=opts.eval_stereo,
+        disable_median_scaling=opts.disable_median_scaling,
+        pred_depth_scale_factor=opts.pred_depth_scale_factor)
+    if len(ratios):
+        med = np.median(ratios)
+        print(f" Scaling ratios | med: {med:0.3f} | "
+              f"std: {np.std(ratios / med):0.3f}")
+    print(kitti_eval.format_result_table(mean_errors))
+    print("\n-> Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""NYUv2 evaluation CLI — `NYUv2/evaluate.py:19-107` equivalent.
+
+Loads nyu_depth_v2_labeled.mat + splits.mat (654 official test images),
+optional NYUv2-OC++ edge GT pngs, runs the model (dense or sparse) and
+prints abs_rel / rmse / log10 / deltas (+ eps_acc / eps_comp with edges).
+
+Usage:
+  python -m wavelet_monodepth_tpu.tools.evaluate_nyu \
+      --data_path nyu_depth_v2_labeled.mat --splits_path splits.mat \
+      --load_weights_folder ckpt/ [--edges_dir nyu_oc] [--use_sparse]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+
+    from ..eval import nyu_eval
+    from ..models.factory import make_nyu_decoder, make_nyu_encoder
+    from ..utils.config import NyuOptions
+
+    p = argparse.ArgumentParser(description="evaluate_nyu")
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--splits_path", type=str, required=True)
+    p.add_argument("--edges_dir", type=str, default=None)
+    p.add_argument("--load_weights_folder", type=str, default=None)
+    p.add_argument("--encoder_type", type=str, default="densenet")
+    p.add_argument("--num_layers", type=int, default=161)
+    p.add_argument("--use_wavelets", action="store_true")
+    p.add_argument("--use_sparse", action="store_true")
+    p.add_argument("--use_224", action="store_true")
+    p.add_argument("--disparity", action="store_true")
+    p.add_argument("--threshold", type=float, default=-1)
+    p.add_argument("--max_images", type=int, default=None)
+    args = p.parse_args(argv)
+
+    opts = NyuOptions(encoder_type=args.encoder_type,
+                      num_layers=args.num_layers,
+                      use_wavelets=args.use_wavelets,
+                      use_sparse=args.use_sparse, use_224=args.use_224,
+                      disparity=args.disparity)
+
+    import jax.numpy as jnp
+    encoder, num_ch_enc = make_nyu_encoder(opts)
+    decoder = make_nyu_decoder(num_ch_enc, opts)
+    rng = jax.random.PRNGKey(0)
+    h, w = (224, 224) if args.use_224 else (480, 640)
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    enc_vars = encoder.init(rng, x)
+    feats = encoder.apply(enc_vars, x)
+    dec_vars = decoder.init(rng, feats)
+
+    if args.load_weights_folder:
+        import flax.serialization
+        with open(os.path.join(args.load_weights_folder,
+                               "state.msgpack"), "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        enc_vars = {
+            "params": flax.serialization.from_state_dict(
+                enc_vars["params"], raw["params"]["encoder"]),
+            "batch_stats": flax.serialization.from_state_dict(
+                enc_vars["batch_stats"], raw["batch_stats"]["encoder"])}
+        dec_vars = {"params": flax.serialization.from_state_dict(
+            dec_vars["params"], raw["params"]["decoder"])}
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("thresh",))
+    def forward(image, thresh=None):
+        feats = encoder.apply(enc_vars, image)
+        if thresh is not None and args.use_wavelets and args.use_sparse:
+            return decoder.apply(dec_vars, feats, thresh_ratio=thresh)
+        return decoder.apply(dec_vars, feats)
+
+    rgb, depth = nyu_eval.load_nyu_labeled(args.data_path,
+                                           args.splits_path)
+    if args.max_images:
+        rgb, depth = rgb[:args.max_images], depth[:args.max_images]
+
+    edges = None
+    if args.edges_dir:
+        from PIL import Image
+        edges = np.stack([
+            np.array(Image.open(os.path.join(
+                args.edges_dir, f"{i:04d}.png"))) > 0
+            for i in range(1, rgb.shape[0] + 1)])
+
+    thresh = args.threshold if args.use_sparse else None
+    result = nyu_eval.evaluate(forward, rgb, depth, edges_gt=edges,
+                               use_disparity=args.disparity,
+                               use_224=args.use_224,
+                               sparse_threshold=thresh)
+    keys = ["abs_rel", "rmse", "log10", "a1", "a2", "a3"]
+    if "eps_acc" in result:
+        keys += ["eps_acc", "eps_comp"]
+    print(("{:>10} " * len(keys)).format(*keys))
+    print(("{:10.4f} " * len(keys)).format(*[result[k] for k in keys]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""KITTI training CLI — `KITTI/train.py` + the reference Trainer's epoch
+loop (`trainer.py:182-229`), TPU-native: host loop over jitted sharded
+steps, periodic one-batch validation (`trainer.py:312-327`), TensorBoard
+logging, per-epoch checkpoints.
+
+Usage:
+  python -m wavelet_monodepth_tpu.tools.train_kitti --data_path ... \
+      --use_stereo --frame_ids 0 --use_depth_hints --use_wavelets \
+      --split eigen_full --model_name wavelets_r18
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    from ..data import kitti as kitti_data
+    from ..parallel import mesh as mesh_lib
+    from ..train.kitti import KittiTrainSetup
+    from ..utils import checkpoint as ckpt
+    from ..utils.config import parse_kitti_args
+    from ..utils.logging import SummaryLogger, TrainTimer
+
+    opts = parse_kitti_args(argv)
+    opts.validate_for_training()
+    log_path = os.path.join(opts.log_dir, opts.model_name)
+
+    split_dir = os.path.join(opts.data_path, "splits", opts.split)
+    if not os.path.isdir(split_dir):
+        split_dir = os.path.join(os.path.dirname(opts.data_path),
+                                 "splits", opts.split)
+    train_files = kitti_data.readlines(
+        os.path.join(split_dir, "train_files.txt"))
+    val_files = kitti_data.readlines(
+        os.path.join(split_dir, "val_files.txt"))
+    img_ext = ".png" if opts.png else ".jpg"
+
+    frame_idxs = list(opts.all_frame_ids)
+    train_ds = kitti_data.KittiRawDataset(
+        opts.data_path, train_files, opts.height, opts.width, frame_idxs,
+        list(opts.scales), is_train=True, img_ext=img_ext,
+        use_depth_hints=opts.use_depth_hints,
+        depth_hint_path=opts.depth_hint_path,
+        dataset=opts.dataset)
+    val_ds = kitti_data.KittiRawDataset(
+        opts.data_path, val_files, opts.height, opts.width, frame_idxs,
+        list(opts.scales), is_train=False, img_ext=img_ext,
+        use_depth_hints=opts.use_depth_hints,
+        depth_hint_path=opts.depth_hint_path,
+        dataset=opts.dataset)
+
+    steps_per_epoch = len(train_ds) // opts.batch_size
+    setup = KittiTrainSetup(opts, steps_per_epoch=steps_per_epoch)
+    mesh = mesh_lib.make_mesh(data=opts.data_axis) \
+        if opts.data_axis > 1 else None
+
+    rng = jax.random.PRNGKey(0)
+    state = setup.init_state(rng)
+    start_epoch = opts.start_epoch
+    if opts.load_weights_folder:
+        state = ckpt.load_checkpoint(opts.load_weights_folder, state)
+
+    if mesh is not None:
+        state = mesh_lib.replicate(mesh, state)
+
+    step_fn = setup.jit_train_step()
+    eval_fn = jax.jit(setup.make_eval_step())
+
+    logger = SummaryLogger(log_path)
+    timer = TrainTimer(steps_per_epoch * opts.num_epochs)
+
+    train_iter = kitti_data.batch_iterator(train_ds, opts.batch_size,
+                                           shuffle=True)
+    val_iter = kitti_data.batch_iterator(val_ds, opts.batch_size,
+                                         shuffle=True)
+
+    print(f"Training model named:\n   {opts.model_name}")
+    print(f"There are {len(train_ds)} training and {len(val_ds)} "
+          f"validation items")
+    step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, opts.num_epochs):
+        for batch_idx in range(steps_per_epoch):
+            t0 = time.time()
+            batch = next(train_iter)
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(mesh, batch)
+            durations = {"dataloading": time.time() - t0}
+            t1 = time.time()
+            rng, sub = jax.random.split(rng)
+            state, losses = step_fn(state, batch, sub)
+            loss = float(losses["loss"])
+            durations["batch_process"] = time.time() - t1
+
+            early = batch_idx % opts.log_frequency == 0 and step < 1000
+            late = step % 1000 == 0
+            if early or late:
+                print(timer.log_line(epoch, batch_idx, max(step, 1),
+                                     opts.batch_size, durations, loss))
+                logger.scalars("train",
+                               {k: float(v) for k, v in losses.items()},
+                               step)
+                # one-batch validation (`trainer.py:312-327`)
+                vbatch = next(val_iter)
+                rng, sub = jax.random.split(rng)
+                _, vlosses = eval_fn(state, vbatch, sub)
+                logger.scalars("val",
+                               {k: float(v) for k, v in vlosses.items()},
+                               step)
+            step += 1
+
+        if (epoch + 1) % opts.save_frequency == 0:
+            meta = {"height": opts.height, "width": opts.width,
+                    "use_stereo": int(opts.use_stereo), "epoch": epoch}
+            folder = ckpt.save_checkpoint(log_path, epoch, state, meta,
+                                          opts)
+            print(f"saved checkpoint to {folder}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

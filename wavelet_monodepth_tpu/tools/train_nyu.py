@@ -1,0 +1,75 @@
+"""NYUv2 training CLI — `NYUv2/train.py:165-352` equivalent.
+
+Usage:
+  python -m wavelet_monodepth_tpu.tools.train_nyu --data_path \
+      nyu_data.zip --use_wavelets --encoder_type densenet
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    from ..data import nyu as nyu_data
+    from ..train.nyu import NyuTrainSetup
+    from ..utils import checkpoint as ckpt
+    from ..utils.config import parse_nyu_args
+    from ..utils.logging import SummaryLogger
+
+    opts = parse_nyu_args(argv)
+    log_path = os.path.join(opts.log_dir, opts.model_name)
+
+    train_ds, test_ds = nyu_data.get_training_testing_data(
+        opts.data_path, is_224=opts.use_224)
+    setup = NyuTrainSetup(opts)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    if opts.load_weights_folder:
+        state = ckpt.load_checkpoint(opts.load_weights_folder, state)
+    step_fn = setup.jit_train_step()
+    eval_fn = jax.jit(setup.make_eval_step())
+
+    logger = SummaryLogger(log_path)
+    n_batches = len(train_ds) // opts.batch_size
+    train_iter = nyu_data.batch_iterator(train_ds, opts.batch_size)
+    val_iter = nyu_data.batch_iterator(test_ds, opts.batch_size,
+                                       shuffle=False)
+
+    step = 0
+    for epoch in range(opts.epochs):
+        t_end = time.time()
+        for i in range(n_batches):
+            batch = next(train_iter)
+            image = jnp.asarray(batch["image"])
+            depth = jnp.asarray(batch["depth"])
+            state, losses = step_fn(state, image, depth)
+            if i % 5 == 0:
+                bt = time.time() - t_end
+                print(f"Epoch: [{epoch}][{i}/{n_batches}]\t"
+                      f"Time {bt:.3f}\t Loss {float(losses['loss']):.4f}")
+            if i % opts.log_frequency == 0:
+                logger.scalars("train",
+                               {k: float(v) for k, v in losses.items()},
+                               step)
+                vbatch = next(val_iter)
+                outputs = eval_fn(state, jnp.asarray(vbatch["image"]))
+                vdepth = jnp.asarray(vbatch["depth"])
+                vlosses = setup.compute_losses(outputs, vdepth)
+                logger.scalars("val",
+                               {k: float(v) for k, v in vlosses.items()},
+                               step)
+            t_end = time.time()
+            step += 1
+        folder = ckpt.save_checkpoint(log_path, epoch, state,
+                                      {"epoch": epoch,
+                                       "use_224": opts.use_224}, opts)
+        print(f"saved checkpoint to {folder}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
