@@ -71,3 +71,27 @@ def test_non_tile_multiple_shapes():
     assert ours.shape == (20, 200, 8)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_decoder_sparse_pallas_matches_oracle():
+    """Full sparse decoder with use_pallas routing (interpreter on CPU)
+    must match the masked-dense oracle."""
+    from wavelet_monodepth_tpu.models.decoders_kitti import \
+        KittiWaveletDecoder
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, \
+        num_ch_enc
+
+    H, W = 64, 96
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 3), jnp.float32)
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(ev, x)
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
+    dv = dec.init(jax.random.PRNGKey(1), feats)
+    oracle = dec.apply(dv, feats, thresh_ratio=0.05)
+    pallas = dec.apply(dv, feats, thresh_ratio=0.05, use_pallas=True)
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(oracle[("disp", s)]),
+            np.asarray(pallas[("disp", s)]), atol=1e-5,
+            err_msg=f"disp {s}")

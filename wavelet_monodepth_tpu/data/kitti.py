@@ -124,17 +124,27 @@ class KittiRawDataset:
         return img
 
     def get_depth(self, folder, frame_index, side, do_flip) -> np.ndarray:
-        """Velodyne GT resized to the full-res shape
-        (`kitti_dataset.py:54-69`)."""
-        from .kitti_utils import generate_depth_map
+        """GT depth at the full-res shape: velodyne projection for the
+        raw dataset (`kitti_dataset.py:54-69`), improved-GT 16-bit pngs
+        /256 for dataset='kitti_depth' (`kitti_dataset.py:103-118`)."""
         import cv2
-        calib_path = os.path.join(self.data_path, folder.split("/")[0])
-        velo = os.path.join(self.data_path, folder,
-                            f"velodyne_points/data/{int(frame_index):010d}"
-                            ".bin")
-        depth = generate_depth_map(calib_path, velo, SIDE_MAP[side])
-        depth = cv2.resize(depth, FULL_RES_SHAPE,
-                           interpolation=cv2.INTER_NEAREST)
+        if self.dataset == "kitti_depth":
+            depth_path = os.path.join(
+                self.data_path, folder,
+                f"proj_depth/groundtruth/image_0{SIDE_MAP[side]}",
+                f"{int(frame_index):010d}.png")
+            depth = np.asarray(Image.open(depth_path).resize(
+                FULL_RES_SHAPE, Image.NEAREST), np.float32) / 256.0
+        else:
+            from .kitti_utils import generate_depth_map
+            calib_path = os.path.join(self.data_path,
+                                      folder.split("/")[0])
+            velo = os.path.join(
+                self.data_path, folder,
+                f"velodyne_points/data/{int(frame_index):010d}.bin")
+            depth = generate_depth_map(calib_path, velo, SIDE_MAP[side])
+            depth = cv2.resize(depth, FULL_RES_SHAPE,
+                               interpolation=cv2.INTER_NEAREST)
         if do_flip:
             depth = np.fliplr(depth)
         return depth

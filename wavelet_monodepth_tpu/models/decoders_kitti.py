@@ -90,7 +90,8 @@ class KittiWaveletDecoder(nn.Module):
 
     def _coefficients(self, x: Array, i: int, want_ll: bool,
                       in_mask: Optional[Array] = None,
-                      out_mask: Optional[Array] = None):
+                      out_mask: Optional[Array] = None,
+                      use_pallas: bool = False):
         """(LL, HF) heads at scale i: yl = 2^i * sigmoid(ll-head),
         yh = 2^(i-1) * (sigmoid(pos) - sigmoid(neg))
         (`depth_decoder.py:126-136`)."""
@@ -98,8 +99,10 @@ class KittiWaveletDecoder(nn.Module):
         if want_ll:
             yl = (2.0 ** i) * self.blocks["waveconv_4_ll"](
                 x, in_mask, out_mask)
-        pos = self.blocks[f"waveconv_{i}_pos"](x, in_mask, out_mask)
-        neg = self.blocks[f"waveconv_{i}_neg"](x, in_mask, out_mask)
+        pos = self.blocks[f"waveconv_{i}_pos"](x, in_mask, out_mask,
+                                               use_pallas=use_pallas)
+        neg = self.blocks[f"waveconv_{i}_neg"](x, in_mask, out_mask,
+                                               use_pallas=use_pallas)
         yh = (2.0 ** (i - 1)) * (pos - neg)          # (N, H, W, 3)
         return yl, yh
 
@@ -111,10 +114,12 @@ class KittiWaveletDecoder(nn.Module):
 
     def __call__(self, features: Sequence[Array],
                  thresh_ratio: Optional[float] = None,
-                 sparse_scales: Sequence[int] = (1, 2, 3)) -> dict:
+                 sparse_scales: Sequence[int] = (1, 2, 3),
+                 use_pallas: bool = False) -> dict:
         if thresh_ratio is None:
             return self._dense(features)
-        return self._sparse(features, thresh_ratio, tuple(sparse_scales))
+        return self._sparse(features, thresh_ratio, tuple(sparse_scales),
+                            use_pallas)
 
     def _dense(self, features: Sequence[Array]) -> dict:
         outputs = {}
@@ -134,7 +139,7 @@ class KittiWaveletDecoder(nn.Module):
         return outputs
 
     def _sparse(self, features: Sequence[Array], thresh_ratio,
-                sparse_scales: tuple) -> dict:
+                sparse_scales: tuple, use_pallas: bool = False) -> dict:
         outputs = {}
         x = features[-1]
         yl = None
@@ -164,18 +169,20 @@ class KittiWaveletDecoder(nn.Module):
                     scale_ops += sp.ops_mask2idxmap(masks[key])
                 ichn0 = x.shape[-1]
                 x = self.blocks[f"upconv_{i}_0"](
-                    x, in_mask=masks["lowres"], out_mask=masks["upconv0"])
+                    x, in_mask=masks["lowres"],
+                    out_mask=masks["upconv0"], use_pallas=use_pallas)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv0"]), ichn0, NUM_CH_DEC[i])
                 x = upsample_concat(x, skip, out_mask=masks["upsample"])
                 ichn1 = x.shape[-1]
                 x = self.blocks[f"upconv_{i}_1"](
-                    x, out_mask=masks["upconv1"])
+                    x, out_mask=masks["upconv1"], use_pallas=use_pallas)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv1"]), ichn1, NUM_CH_DEC[i])
                 _, yh = self._coefficients(
                     x, i, want_ll=False,
-                    in_mask=masks["upconv1"], out_mask=masks["wavelet"])
+                    in_mask=masks["upconv1"], out_mask=masks["wavelet"],
+                    use_pallas=use_pallas)
                 n_in = sp.mask_count(masks["upconv1"])
                 n_out = sp.mask_count(masks["wavelet"])
                 for _ in range(2):   # pos + neg heads

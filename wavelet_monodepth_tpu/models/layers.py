@@ -100,9 +100,11 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
-                 out_mask: Optional[Array] = None) -> Array:
+                 out_mask: Optional[Array] = None,
+                 use_pallas: bool = False) -> Array:
         return Conv3x3(self.features, self.pad_mode, name="conv")(
-            x, in_mask, out_mask, nonlin=jax.nn.elu)
+            x, in_mask, out_mask, nonlin=jax.nn.elu,
+            use_pallas=use_pallas)
 
 
 class WaveConv(nn.Module):
@@ -116,13 +118,17 @@ class WaveConv(nn.Module):
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
                  out_mask: Optional[Array] = None,
                  final_nonlin: Optional[Callable[[Array], Array]]
-                 = jax.nn.sigmoid) -> Array:
+                 = jax.nn.sigmoid, use_pallas: bool = False) -> Array:
         if in_mask is not None:
             x = x * in_mask
         h = Conv1x1(self.mid_features, name="squeeze")(x)
         h = jax.nn.leaky_relu(h, negative_slope=0.1)
         if in_mask is not None:
             h = h * in_mask
+        if use_pallas and out_mask is not None and x.shape[0] == 1:
+            return Conv3x3(self.out_features, "reflect", name="conv")(
+                h, None, out_mask, nonlin=final_nonlin,
+                use_pallas=True)
         y = Conv3x3(self.out_features, "reflect", name="conv")(h)
         if final_nonlin is not None:
             y = final_nonlin(y)

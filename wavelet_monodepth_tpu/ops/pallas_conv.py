@@ -101,12 +101,25 @@ def tile_flags(out_mask: Array, th: int, tw: int) -> Array:
     return (jnp.max(m, axis=(1, 3)) > 0).astype(jnp.int32).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
-                                             "interpret"))
 def conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
                         pad_mode: str = "reflect",
                         nonlin: Optional[Callable] = None,
-                        th: int = 8, interpret: bool = False) -> Array:
+                        th: int = 8,
+                        interpret: Optional[bool] = None) -> Array:
+    """Public wrapper: resolves interpret=None to 'not on TPU' (CPU test
+    runs use the Pallas interpreter) then dispatches to the jitted impl."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _conv3x3_tile_sparse(x, w, b, out_mask, pad_mode, nonlin, th,
+                                interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
+                                             "interpret"))
+def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
+                         pad_mode: str = "reflect",
+                         nonlin: Optional[Callable] = None,
+                         th: int = 8, interpret: bool = False) -> Array:
     """Masked 3x3 conv with row-stripe skipping.
 
     Args:
