@@ -1,14 +1,17 @@
-"""Benchmark: KITTI ResNet18 640x192 inference throughput on one chip.
+"""Benchmark: KITTI ResNet18 640x192 batch-1 inference throughput on one
+chip — dense wavelet decode vs sparse decode (masked-dense and Pallas
+tile-skipping paths).
 
 Prints ONE JSON line:
-  {"metric": "kitti_r18_640x192_sparse10_fps", "value": <frames/sec>,
+  {"metric": "kitti_r18_640x192_sparse_fps", "value": <frames/sec>,
    "unit": "frames/sec", "vs_baseline": <sparse_fps / dense_fps>}
 
-The primary number is batch-1 sparse-decode throughput at ~10% coefficient
-density (the paper's headline operating point, reference README.md:97);
-vs_baseline is the wall-clock speedup of the sparse path over our own
-dense decode on the same chip (the north-star ratio; the reference only
-reports FLOPs, BASELINE.md).
+Throughput is measured by pipelined dispatch (submit N frames without
+blocking, block once) — the batch-1 latency serving pattern. The primary
+number is the best sparse path at the default 0.05 threshold (the
+reference's --threshold default; ~10% density with trained weights,
+README.md:97); vs_baseline is its wall-clock speedup over our own dense
+decode on the same chip (the reference reports FLOPs only, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench(fn, args, iters=50, warmup=5):
+def _throughput(fn, args, iters=100, warmup=8):
+    out = None
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -29,7 +33,7 @@ def _bench(fn, args, iters=50, warmup=5):
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    return iters / (time.perf_counter() - t0)
 
 
 def main():
@@ -51,26 +55,37 @@ def main():
     def dense(ev, dv, img):
         return decoder.apply(dv, encoder.apply(ev, img))[("disp", 0)]
 
-    # threshold 0.05 is the reference's default --threshold; with trained
-    # weights it lands near 10% density (README.md:97)
     @jax.jit
-    def sparse(ev, dv, img):
+    def sparse_masked(ev, dv, img):
         out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=0.05)
         return out[("disp", 0)], compute_density(out)
 
-    t_dense = _bench(dense, (enc_vars, dec_vars, x))
-    t_sparse = _bench(sparse, (enc_vars, dec_vars, x))
-    _, density = sparse(enc_vars, dec_vars, x)
+    @jax.jit
+    def sparse_pallas(ev, dv, img):
+        out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=0.05,
+                            use_pallas=True)
+        return out[("disp", 0)], compute_density(out)
 
-    fps_sparse = 1.0 / t_sparse
-    fps_dense = 1.0 / t_dense
+    fps_dense = _throughput(dense, (enc_vars, dec_vars, x))
+    fps_masked = _throughput(sparse_masked, (enc_vars, dec_vars, x))
+    try:
+        fps_pallas = _throughput(sparse_pallas, (enc_vars, dec_vars, x))
+    except Exception as e:  # pallas path must not take down the bench
+        print(f"pallas path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        fps_pallas = 0.0
+    _, density = sparse_masked(enc_vars, dec_vars, x)
+
+    best = max(fps_masked, fps_pallas)
     result = {
         "metric": "kitti_r18_640x192_sparse_fps",
-        "value": round(fps_sparse, 2),
+        "value": round(best, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps_sparse / fps_dense, 3),
+        "vs_baseline": round(best / fps_dense, 3),
         "extra": {
             "dense_fps": round(fps_dense, 2),
+            "sparse_masked_fps": round(fps_masked, 2),
+            "sparse_pallas_fps": round(fps_pallas, 2),
             "density": round(float(density), 4),
             "device": str(jax.devices()[0]),
         },

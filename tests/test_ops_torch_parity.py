@@ -181,3 +181,18 @@ def test_smooth_loss_torch_parity():
     theirs = float((gdx * torch.exp(-2 * gix)).mean()
                    + (gdy * torch.exp(-2 * giy)).mean())
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_get_grad_map():
+    img = _rand((1, 6, 7, 3), 21)
+    ours = np.asarray(image.get_grad_map(jnp.asarray(img)))
+    assert ours.shape == (1, 6, 7, 6)
+    red = np.asarray(image.get_grad_map(jnp.asarray(img), reduce=True))
+    assert red.shape == (1, 6, 7, 2)
+    ti = _nchw(img)
+    gx = F.pad(torch.abs(ti[:, :, :, :-1] - ti[:, :, :, 1:]),
+               (0, 1, 0, 0), mode="reflect")
+    gy = F.pad(torch.abs(ti[:, :, :-1, :] - ti[:, :, 1:, :]),
+               (0, 0, 0, 1), mode="reflect")
+    theirs = _to_nhwc(torch.cat([gx, gy], dim=1))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)

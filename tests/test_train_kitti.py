@@ -98,3 +98,15 @@ def test_gradients_flow_to_all_params():
     nonzero = sum(1 for n in norms if n > 0)
     assert nonzero / len(norms) > 0.9, \
         f"only {nonzero}/{len(norms)} param leaves receive gradient"
+
+
+def test_pose_input_all_posecnn():
+    opts = KittiOptions(use_stereo=False, frame_ids=(0, -1, 1),
+                        use_wavelets=True, pose_model_input="all",
+                        pose_model_type="posecnn", **TINY)
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    batch = synthetic_batch(opts, 2)
+    state, losses = setup.jit_train_step()(state, batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))

@@ -1,0 +1,41 @@
+"""Host->device prefetching: overlap input-pipeline work with device
+steps (the TPU-side counterpart of the reference's DataLoader worker
+pool, `trainer.py:128-138` — decode parallelism lives in
+native_loader/threading; this module hides the transfer latency)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+def to_device(batch_iter: Iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator; keeps `size` batches in flight on
+    device. With a NamedSharding, batches land sharded (data-parallel)."""
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                q.put(put(batch))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

@@ -140,6 +140,20 @@ def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray,
     return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
 
 
+def get_grad_map(img: jnp.ndarray, reduce: bool = False) -> jnp.ndarray:
+    """Per-channel |dx|/|dy| gradient maps, reflect-padded back to input
+    size (`KITTI/layers.py:255-278`). NHWC; returns channels stacked
+    [grad_x..., grad_y...] (2C, or 2 with reduce=True)."""
+    gx = jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :])
+    gy = jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :])
+    gx = jnp.pad(gx, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="reflect")
+    gy = jnp.pad(gy, ((0, 0), (0, 1), (0, 0), (0, 0)), mode="reflect")
+    if reduce:
+        gx = jnp.mean(gx, axis=3, keepdims=True)
+        gy = jnp.mean(gy, axis=3, keepdims=True)
+    return jnp.concatenate([gx, gy], axis=3)
+
+
 def normalize_image(x: jnp.ndarray) -> jnp.ndarray:
     """Rescale to [0, 1] for visualization (`KITTI/utils.py:24-29`)."""
     ma, mi = jnp.max(x), jnp.min(x)

@@ -116,6 +116,23 @@ def main(argv=None):
         print("-> Evaluation disabled. Done.")
         return
 
+    if opts.eval_split == "benchmark":
+        # KITTI online-benchmark submission pngs
+        # (`evaluate_depth.py:241-256`): no public GT, just export.
+        import cv2
+        save_dir = os.path.join(opts.load_weights_folder or ".",
+                                "benchmark_predictions")
+        os.makedirs(save_dir, exist_ok=True)
+        for idx in range(len(pred_disps)):
+            disp_resized = cv2.resize(pred_disps[idx], (1216, 352))
+            depth = np.clip(
+                kitti_eval.STEREO_SCALE_FACTOR / disp_resized, 0, 80)
+            cv2.imwrite(os.path.join(save_dir, f"{idx:010d}.png"),
+                        np.uint16(depth * 256))
+        print(f"-> Saved benchmark predictions to {save_dir}; no GT "
+              "available, not evaluating. Done.")
+        return
+
     gt_path = os.path.join(split_dir, "gt_depths.npz")
     gt_depths = np.load(gt_path, fix_imports=True, encoding="latin1",
                         allow_pickle=True)["data"]

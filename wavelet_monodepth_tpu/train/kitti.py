@@ -129,7 +129,36 @@ class KittiTrainSetup:
                 out[("cam_T_cam", 0, f_i)] = transformation_from_parameters(
                     aa[:, 0], tr[:, 0], invert=(f_i < 0))
         else:
-            raise NotImplementedError("pose_model_input='all'")
+            # 'all' mode (`trainer.py:289-308`): one pass over all
+            # temporal frames stacked channel-wise.
+            temporal = [f for f in self.frame_ids if f != "s"]
+            pose_in = jnp.concatenate(
+                [inputs[("color_aug", str(f), 0)] for f in temporal],
+                axis=-1)
+            if opts.pose_model_type == "separate_resnet":
+                variables = {"params": params["pose_encoder"],
+                             "batch_stats": batch_stats["pose_encoder"]}
+                if train:
+                    pfeats, upd = self.pose_encoder.apply(
+                        variables, pose_in, train=True,
+                        mutable=["batch_stats"])
+                    new_stats["pose_encoder"] = upd["batch_stats"]
+                else:
+                    pfeats = self.pose_encoder.apply(variables, pose_in)
+                aa, tr = self.pose_decoder.apply(
+                    {"params": params["pose"]}, [pfeats])
+            elif opts.pose_model_type == "posecnn":
+                aa, tr = self.pose_decoder.apply(
+                    {"params": params["pose"]}, pose_in)
+            else:
+                raise NotImplementedError(opts.pose_model_type)
+            for idx, f_i in enumerate(self.frame_ids[1:]):
+                if f_i == "s":
+                    continue
+                out[("axisangle", 0, f_i)] = aa
+                out[("translation", 0, f_i)] = tr
+                out[("cam_T_cam", 0, f_i)] = transformation_from_parameters(
+                    aa[:, idx], tr[:, idx])
         return out, new_stats
 
     # ------------------------------------------------------------------
