@@ -137,7 +137,7 @@ def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
     # coincide with the physical (padded) layout: channels padded to the
     # 128-lane width, W+2 padded to a sublane multiple of 8. Zero channels
     # contribute nothing to the dots.
-    cpad = 128 if not interpret else cin
+    cpad = (-(-cin // 128) * 128) if not interpret else cin
     wpad = (-(-(w_img + 2) // 8) * 8) if not interpret else (w_img + 2)
 
     xp = pad2d(x[None], 1, pad_mode)[0]                  # (H+2, W+2, C)
