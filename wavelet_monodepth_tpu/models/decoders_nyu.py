@@ -82,14 +82,17 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, skip: Array, up_out_mask=None,
-                 out_mask=None, in_mask=None):
+                 out_mask=None, in_mask=None, use_pallas: bool = False):
         if in_mask is not None:
             x = x * in_mask
         up = jnp.concatenate([upsample_nearest2x(x), skip], axis=-1)
         if up_out_mask is not None:
             up = up * up_out_mask
+        if self.depthwise:
+            use_pallas = False
         return _conv3x3(self.features, self.pad_mode, self.depthwise,
-                        "convA")(up, None, out_mask, nonlin=_leaky02)
+                        "convA")(up, None, out_mask, nonlin=_leaky02,
+                                 use_pallas=use_pallas)
 
 
 class NyuDecoder(nn.Module):
@@ -173,10 +176,11 @@ class NyuDecoderWave(nn.Module):
         outputs[("wavelets", s, "HH")] = h[..., 2:3]
 
     def __call__(self, features: Sequence[Array],
-                 thresh_ratio: Optional[float] = None) -> dict:
+                 thresh_ratio: Optional[float] = None,
+                 use_pallas: bool = False) -> dict:
         if thresh_ratio is None:
             return self._dense(features)
-        return self._sparse(features, thresh_ratio)
+        return self._sparse(features, thresh_ratio, use_pallas)
 
     def _dense(self, features: Sequence[Array]) -> dict:
         outputs = {}
@@ -201,7 +205,8 @@ class NyuDecoderWave(nn.Module):
         outputs[("disp", 0)] = ll
         return outputs
 
-    def _sparse(self, features: Sequence[Array], thresh_ratio) -> dict:
+    def _sparse(self, features: Sequence[Array], thresh_ratio,
+                use_pallas: bool = False) -> dict:
         outputs = {}
         total = jnp.float32(0.0)
 
@@ -245,10 +250,14 @@ class NyuDecoderWave(nn.Module):
 
             cat_c = x.shape[-1] + skip.shape[-1]
             x = up(x, skip, in_mask=up_mask, up_out_mask=conva_mask,
-                   out_mask=wave_mask)
+                   out_mask=wave_mask, use_pallas=use_pallas)
             total += sp.ops_sparse_conv3x3(
                 sp.mask_count(wave_mask), cat_c, x.shape[-1])
-            h = wave(x, None, wavelet_mask)
+            if use_pallas and not self.dw_waveconv:
+                h = wave(x, None, wavelet_mask, nonlin=None,
+                         use_pallas=True)
+            else:
+                h = wave(x, None, wavelet_mask)
             total += sp.ops_sparse_conv3x3(
                 sp.mask_count(wavelet_mask), x.shape[-1], 3)
             h = (2.0 ** coeff_pow) * h
