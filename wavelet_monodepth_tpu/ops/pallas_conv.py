@@ -53,7 +53,7 @@ def leaky_relu_02(x: Array) -> Array:
     return jnp.where(x > 0, x, 0.2 * x)
 
 
-def _conv_kernel(nonlin, th, w_img, cin, cout,
+def _conv_kernel(nonlin, th, w_img, cin, cout, flat_dots,
                  flags_ref, xp_ref, w_ref, b_ref, mask_ref, out_ref,
                  xs_ref, sem):
     i = pl.program_id(0)
@@ -65,14 +65,29 @@ def _conv_kernel(nonlin, th, w_img, cin, cout,
             xp_ref.at[pl.ds(i * th, th + 2)], xs_ref, sem)
         dma.start()
         dma.wait()
-        acc = jnp.zeros((th * w_img, cout), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                patch = xs_ref[ky:ky + th, kx:kx + w_img, :]
-                acc = acc + jnp.dot(
-                    patch.reshape(th * w_img, cin), w_ref[ky * 3 + kx],
-                    preferred_element_type=jnp.float32)
-        y = acc.reshape(th, w_img, cout) + b_ref[0, 0]
+        if flat_dots:
+            acc = jnp.zeros((th * w_img, cout), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    patch = xs_ref[ky:ky + th, kx:kx + w_img, :]
+                    acc = acc + jnp.dot(
+                        patch.reshape(th * w_img, cin),
+                        w_ref[ky * 3 + kx],
+                        preferred_element_type=jnp.float32)
+            y = acc.reshape(th, w_img, cout)
+        else:
+            # contract channels directly on the 3-D tile — no reshape
+            # relayouts; Mosaic lowers this as a batched matmul
+            acc = jnp.zeros((th, w_img, cout), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    patch = xs_ref[ky:ky + th, kx:kx + w_img, :]
+                    acc = acc + jax.lax.dot_general(
+                        patch, w_ref[ky * 3 + kx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            y = acc
+        y = y + b_ref[0, 0]
         if nonlin is not None:
             y = nonlin(y)
         out_ref[...] = y * mask_ref[...]
@@ -105,21 +120,23 @@ def conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
                         pad_mode: str = "reflect",
                         nonlin: Optional[Callable] = None,
                         th: int = 8,
-                        interpret: Optional[bool] = None) -> Array:
+                        interpret: Optional[bool] = None,
+                        flat_dots: bool = False) -> Array:
     """Public wrapper: resolves interpret=None to 'not on TPU' (CPU test
     runs use the Pallas interpreter) then dispatches to the jitted impl."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return _conv3x3_tile_sparse(x, w, b, out_mask, pad_mode, nonlin, th,
-                                interpret)
+                                interpret, flat_dots)
 
 
 @functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
-                                             "interpret"))
+                                             "interpret", "flat_dots"))
 def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
                          pad_mode: str = "reflect",
                          nonlin: Optional[Callable] = None,
-                         th: int = 8, interpret: bool = False) -> Array:
+                         th: int = 8, interpret: bool = False,
+                         flat_dots: bool = False) -> Array:
     """Masked 3x3 conv with row-stripe skipping.
 
     Args:
@@ -173,7 +190,7 @@ def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
     )
 
     kernel = functools.partial(_conv_kernel, nonlin, th, w_img, cpad,
-                               cout)
+                               cout, flat_dots)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
