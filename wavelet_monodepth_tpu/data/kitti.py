@@ -23,7 +23,6 @@ from typing import Optional, Sequence
 import numpy as np
 from PIL import Image, ImageEnhance
 
-from ..ops.geometry import depth_to_disp as _depth_to_disp_jnp
 
 MIN_DEPTH = 0.1
 MAX_DEPTH = 100.0

@@ -16,7 +16,6 @@ from __future__ import annotations
 import random
 from io import BytesIO
 from itertools import permutations
-from typing import Optional
 from zipfile import ZipFile
 
 import numpy as np

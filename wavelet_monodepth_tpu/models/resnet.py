@@ -12,8 +12,6 @@ the pose encoder mirrors `resnet_encoder.py:17-59`.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

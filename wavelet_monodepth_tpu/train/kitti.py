@@ -12,7 +12,6 @@ all-reduced by GSPMD (the reference is single-GPU; SURVEY §2.3).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import flax.struct
@@ -23,7 +22,6 @@ import optax
 from ..models.factory import make_depth_decoder, make_depth_encoder, \
     make_posenet
 from ..ops.geometry import transformation_from_parameters
-from ..parallel import mesh as mesh_lib
 from ..utils.config import KittiOptions
 from . import losses_kitti
 from .optim import make_optimizer

@@ -16,13 +16,12 @@ monodepth2 proper.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import (backproject_depth, disp_to_depth, project_3d,
-                            transformation_from_parameters)
+from ..ops.geometry import backproject_depth, disp_to_depth, project_3d
 from ..ops.image import get_smooth_loss, grid_sample_border, resize_bilinear
 from ..ops.ssim import ssim as ssim_fn
 
