@@ -160,3 +160,24 @@ def test_baseline_decoder_import_structure():
     assert _shapes(ref_vars["params"]) == _shapes(imported["params"])
     out = dec.apply(imported, feats)
     assert out[("disp", 0)].shape == (1, 64, 96, 1)
+
+
+def test_fetch_pretrained_check(tmp_path):
+    """check_folder must recognize and sanity-import a synthetic KITTI
+    weights folder."""
+    from wavelet_monodepth_tpu.tools.fetch_pretrained import check_folder
+
+    enc_sd = _resnet18_sd()
+    dec_sd = _wavelet_decoder_sd()
+    torch.save({k: torch.as_tensor(v) if not isinstance(v, int) else v
+                for k, v in enc_sd.items()}, tmp_path / "encoder.pth")
+    torch.save({k: torch.as_tensor(v) for k, v in dec_sd.items()},
+               tmp_path / "depth.pth")
+    report = check_folder(str(tmp_path))
+    assert report["kind"] == "kitti"
+    assert report["ok"], report["details"]
+
+
+def test_fetch_pretrained_empty(tmp_path):
+    from wavelet_monodepth_tpu.tools.fetch_pretrained import check_folder
+    assert not check_folder(str(tmp_path))["ok"]
