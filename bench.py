@@ -81,6 +81,17 @@ def main():
         fps_pallas = 0.0
     _, density = sparse_masked(enc_vars, dec_vars, x)
 
+    # context numbers: bf16 full model (MXU-native) and batch-16 dense
+    # throughput (dispatch-amortized device capacity)
+    evb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                 enc_vars)
+    dvb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                 dec_vars)
+    fps_bf16 = _throughput(dense, (evb, dvb, x.astype(jnp.bfloat16)))
+    x16 = jnp.tile(x, (16, 1, 1, 1))
+    fps_b16 = 16 * _throughput(dense, (enc_vars, dec_vars, x16),
+                               iters=25, warmup=3)
+
     best = max(fps_masked, fps_pallas)
     result = {
         "metric": "kitti_r18_640x192_sparse_fps",
@@ -92,6 +103,8 @@ def main():
             "sparse_masked_fps": round(fps_masked, 2),
             "sparse_pallas_fps": round(fps_pallas, 2),
             "density": round(float(density), 4),
+            "dense_bf16_fps": round(fps_bf16, 2),
+            "dense_batch16_fps": round(fps_b16, 2),
             "device": str(jax.devices()[0]),
         },
     }
