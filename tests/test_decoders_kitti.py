@@ -109,3 +109,21 @@ def test_jit_dense_and_sparse(enc_feats, wave_setup):
     o1 = f_dense(variables, list(enc_feats))
     o2 = f_sparse(variables, list(enc_feats))
     assert o1[("disp", 0)].shape == o2[("disp", 0)].shape
+
+
+def test_batched_sparse_matches_per_image(enc_feats, wave_setup):
+    """Per-image thresholds: a batch-2 sparse decode must equal decoding
+    each image alone (the reference only supports batch 1; this is the
+    batched generalization)."""
+    dec, variables = wave_setup
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.asarray(np.random.RandomState(9).rand(2, H, W, 3), jnp.float32)
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    feats2 = enc.apply(ev, x)
+    batched = dec.apply(variables, feats2, thresh_ratio=0.05)
+    for n in range(2):
+        single = dec.apply(variables, [f[n:n + 1] for f in feats2],
+                           thresh_ratio=0.05)
+        np.testing.assert_allclose(
+            np.asarray(batched[("disp", 0)][n]),
+            np.asarray(single[("disp", 0)][0]), atol=1e-5)

@@ -51,8 +51,13 @@ def wavelet_threshold_mask(yl: Array, yh: Array,
       yh: (N, H, W, 3) high-frequency bands at the mask resolution.
     Returns:
       float {0,1} mask (N, H, W, 1). `depth_decoder.py:308-309`.
+
+    The threshold is per-image (max/min over each sample). The reference
+    only supports batch 1, where this is identical to its global max/min;
+    per-image extends sparse decoding to batched inference.
     """
-    thresh = (jnp.max(yl) - jnp.min(yl)) * thresh_ratio
+    thresh = (jnp.max(yl, axis=(1, 2, 3), keepdims=True)
+              - jnp.min(yl, axis=(1, 2, 3), keepdims=True)) * thresh_ratio
     return (jnp.max(jnp.abs(yh), axis=-1, keepdims=True) > thresh
             ).astype(yl.dtype)
 
