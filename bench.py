@@ -91,6 +91,13 @@ def main():
     x16 = jnp.tile(x, (16, 1, 1, 1))
     fps_b16 = 16 * _throughput(dense, (enc_vars, dec_vars, x16),
                                iters=25, warmup=3)
+    try:
+        fps_b16_pallas = 16 * _throughput(
+            sparse_pallas, (enc_vars, dec_vars, x16), iters=25, warmup=3)
+    except Exception as e:
+        print(f"batched pallas failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        fps_b16_pallas = 0.0
 
     best = max(fps_masked, fps_pallas)
     result = {
@@ -105,6 +112,7 @@ def main():
             "density": round(float(density), 4),
             "dense_bf16_fps": round(fps_bf16, 2),
             "dense_batch16_fps": round(fps_b16, 2),
+            "sparse_pallas_batch16_fps": round(fps_b16_pallas, 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -42,7 +42,7 @@ def _torch_bias_init(fan_in: int):
 class Conv3x3(nn.Module):
     """Pad-then-conv 3x3 (`KITTI/layers.py:146-161`).
 
-    With `use_pallas=True` (and an out_mask, batch 1) the compute routes
+    With `use_pallas=True` (and an out_mask) the compute routes
     through the tile-skipping Pallas kernel (ops/pallas_conv.py) —
     bit-compatible with the XLA path, but inactive tiles skip DMA+MXU.
     """
@@ -61,15 +61,14 @@ class Conv3x3(nn.Module):
              if self.use_bias else None)
         if in_mask is not None:
             x = x * in_mask
-        if use_pallas and out_mask is not None and x.shape[0] == 1:
+        if use_pallas and out_mask is not None:
             from ..ops import pallas_conv as pc
             pnonlin = {jax.nn.elu: pc.elu,
                        jax.nn.sigmoid: pc.sigmoid}.get(nonlin, nonlin)
             bz = b if b is not None else jnp.zeros((self.features,),
                                                    x.dtype)
-            y = pc.conv3x3_tile_sparse(x[0], w, bz, out_mask[0],
-                                       self.pad_mode, pnonlin)[None]
-            return y
+            return pc.conv3x3_tile_sparse(x, w, bz, out_mask,
+                                          self.pad_mode, pnonlin)
         y = convops.conv3x3(x, w, b, self.pad_mode)
         if nonlin is not None:
             y = nonlin(y)
@@ -125,7 +124,7 @@ class WaveConv(nn.Module):
         h = jax.nn.leaky_relu(h, negative_slope=0.1)
         if in_mask is not None:
             h = h * in_mask
-        if use_pallas and out_mask is not None and x.shape[0] == 1:
+        if use_pallas and out_mask is not None:
             return Conv3x3(self.out_features, "reflect", name="conv")(
                 h, None, out_mask, nonlin=final_nonlin,
                 use_pallas=True)

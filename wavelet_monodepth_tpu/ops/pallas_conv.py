@@ -4,20 +4,24 @@ coefficient sparsity into wall-clock savings on TPU.
 The reference's sparse engine gathers individual active pixels
 (`KITTI/layers.py:409-480`) — per-pixel gather/scatter is hostile to the
 TPU's (8,128) vector tiles, and data-dependent shapes don't exist under
-XLA. Instead the image is cut into row stripes of TH rows; a per-stripe
-activity flag is reduced from the output mask on the XLA side and
+XLA. Instead each image is cut into row stripes of TH rows; per-stripe
+activity flags are reduced from the output mask on the XLA side and
 prefetched as scalars; inactive stripes skip BOTH the input DMA (the
 stripe's (TH+2, W+2, C) halo window never leaves HBM) and the 9-shift
 MXU matmuls, writing zeros. Active stripes compute the exact
 masked-dense result (ops/sparse.py), so the kernel is bit-compatible
-with the oracle at every threshold.
+with the oracle at every threshold. Batched inputs run on a
+(batch, stripe) grid with per-image flags (per-image thresholds come
+from ops/sparse.wavelet_threshold_mask).
 
-Row stripes (not 2D tiles) because Mosaic only supports dynamic
-slicing/DMA on the outermost memref dimension; a (TH, TW)+halo window
-needs lane-unaligned slices that fail to lower. Stripe compute: pixels
-on sublanes, channels on lanes, conv as 9 accumulated
-(TH*W, Cin) @ (Cin, Cout) dots with bias/nonlinearity/output-mask fused
-into the epilogue.
+Row stripes (not 2D tiles) because Mosaic only supports runtime
+slicing/DMA on leading memref dimensions; a (TH, TW)+halo window needs
+lane-unaligned slices that fail to lower. The manually DMA'd window must
+also match the physical layout exactly, so channels are padded to the
+128-lane width and W+2 to a sublane multiple of 8. Stripe compute:
+pixels on sublanes, channels on lanes, conv as 9 accumulated
+(TH, W, C) x (C, Cout) dot_generals with bias/nonlinearity/output-mask
+fused into the epilogue.
 """
 
 from __future__ import annotations
@@ -53,16 +57,17 @@ def leaky_relu_02(x: Array) -> Array:
     return jnp.where(x > 0, x, 0.2 * x)
 
 
-def _conv_kernel(nonlin, th, w_img, cin, cout, flat_dots,
+def _conv_kernel(nonlin, th, w_img, cin, cout, n_h, flat_dots,
                  flags_ref, xp_ref, w_ref, b_ref, mask_ref, out_ref,
                  xs_ref, sem):
-    i = pl.program_id(0)
-    flag = flags_ref[i]
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    flag = flags_ref[n * n_h + i]
 
     @pl.when(flag > 0)
     def _active():
         dma = pltpu.make_async_copy(
-            xp_ref.at[pl.ds(i * th, th + 2)], xs_ref, sem)
+            xp_ref.at[n, pl.ds(i * th, th + 2)], xs_ref, sem)
         dma.start()
         dma.wait()
         if flat_dots:
@@ -98,13 +103,13 @@ def _conv_kernel(nonlin, th, w_img, cin, cout, flat_dots,
 
 
 def stripe_flags(out_mask: Array, th: int) -> Array:
-    """Per-row-stripe any-active flags from an (H, W, 1) {0,1} mask.
-    Returns int32 (nH,)."""
-    h = out_mask.shape[0]
+    """Per-image, per-row-stripe any-active flags from an (N, H, W, 1)
+    {0,1} mask. Returns int32 (N * nH,)."""
+    n, h = out_mask.shape[0], out_mask.shape[1]
     hp = -(-h // th) * th
-    m = jnp.pad(out_mask[..., 0], ((0, hp - h), (0, 0)))
-    m = m.reshape(hp // th, th, -1)
-    return (jnp.max(m, axis=(1, 2)) > 0).astype(jnp.int32)
+    m = jnp.pad(out_mask[..., 0], ((0, 0), (0, hp - h), (0, 0)))
+    m = m.reshape(n, hp // th, th, -1)
+    return (jnp.max(m, axis=(2, 3)) > 0).astype(jnp.int32).reshape(-1)
 
 
 # kept for API compatibility with earlier callers/tests
@@ -122,12 +127,28 @@ def conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
                         th: int = 8,
                         interpret: Optional[bool] = None,
                         flat_dots: bool = False) -> Array:
-    """Public wrapper: resolves interpret=None to 'not on TPU' (CPU test
-    runs use the Pallas interpreter) then dispatches to the jitted impl."""
+    """Masked 3x3 conv with row-stripe skipping.
+
+    Args:
+      x: (H, W, Cin) or (N, H, W, Cin) — already input-masked if the
+        stage requires it.
+      w: (3, 3, Cin, Cout) HWIO. b: (Cout,).
+      out_mask: matching (H, W, 1) / (N, H, W, 1) {0,1} float.
+    Returns float32 output of the same leading shape, equal to
+    `nonlin(conv3x3(pad(x), w, b)) * out_mask`.
+
+    interpret=None resolves to 'not on TPU' (CPU tests run the Pallas
+    interpreter).
+    """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _conv3x3_tile_sparse(x, w, b, out_mask, pad_mode, nonlin, th,
-                                interpret, flat_dots)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+        out_mask = out_mask[None]
+    out = _conv3x3_tile_sparse(x, w, b, out_mask, pad_mode, nonlin, th,
+                               interpret, flat_dots)
+    return out[0] if squeeze else out
 
 
 @functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
@@ -137,30 +158,17 @@ def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
                          nonlin: Optional[Callable] = None,
                          th: int = 8, interpret: bool = False,
                          flat_dots: bool = False) -> Array:
-    """Masked 3x3 conv with row-stripe skipping.
-
-    Args:
-      x: (H, W, Cin) — already input-masked if the stage requires it.
-      w: (3, 3, Cin, Cout) HWIO. b: (Cout,).
-      out_mask: (H, W, 1) {0,1} float.
-    Returns (H, W, Cout) float32, equal to
-    `nonlin(conv3x3(pad(x), w, b)) * out_mask`.
-    """
-    h, w_img, cin = x.shape
+    n, h, w_img, cin = x.shape
     cout = w.shape[-1]
     hp = -(-h // th) * th
 
-    # The manual stripe DMA requires the source window's trailing dims to
-    # coincide with the physical (padded) layout: channels padded to the
-    # 128-lane width, W+2 padded to a sublane multiple of 8. Zero channels
-    # contribute nothing to the dots.
     cpad = (-(-cin // 128) * 128) if not interpret else cin
     wpad = (-(-(w_img + 2) // 8) * 8) if not interpret else (w_img + 2)
 
-    xp = pad2d(x[None], 1, pad_mode)[0]                  # (H+2, W+2, C)
-    xp = jnp.pad(xp, ((0, hp - h), (0, wpad - (w_img + 2)),
-                      (0, cpad - cin)))                  # (Hp+2, Wp, 128)
-    maskp = jnp.pad(out_mask, ((0, hp - h), (0, 0), (0, 0)))
+    xp = pad2d(x, 1, pad_mode)                        # (N, H+2, W+2, C)
+    xp = jnp.pad(xp, ((0, 0), (0, hp - h), (0, wpad - (w_img + 2)),
+                      (0, cpad - cin)))               # (N, Hp+2, Wp, Cp)
+    maskp = jnp.pad(out_mask, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     flags = stripe_flags(out_mask, th)
 
     n_h = hp // th
@@ -170,18 +178,19 @@ def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_h,),
+        grid=(n, n_h),
         in_specs=[
             # stays in HBM: inactive stripes never DMA their window, and
             # VMEM-resident inputs can't be sliced at runtime by Mosaic
             pl.BlockSpec(memory_space=pltpu.HBM),
-
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
-            pl.BlockSpec((th, w_img, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, th, w_img, 1),
+                         lambda nn_, i, *_: (nn_, i, 0, 0),
                          memory_space=pltpu.VMEM),       # out mask
         ],
-        out_specs=pl.BlockSpec((th, w_img, cout), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w_img, cout),
+                               lambda nn_, i, *_: (nn_, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((th + 2, wpad, cpad), jnp.float32),
@@ -190,11 +199,11 @@ def _conv3x3_tile_sparse(x: Array, w: Array, b: Array, out_mask: Array,
     )
 
     kernel = functools.partial(_conv_kernel, nonlin, th, w_img, cpad,
-                               cout, flat_dots)
+                               cout, n_h, flat_dots)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, w_img, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w_img, cout), jnp.float32),
         interpret=interpret,
     )(flags, xp, wk, bk, maskp)
-    return out[:h]
+    return out[:, :h]
