@@ -1,21 +1,24 @@
-"""Benchmark: KITTI ResNet18 640x192 batch-1 inference throughput on one
-chip — dense wavelet decode vs sparse decode (masked-dense and Pallas
-tile-skipping paths).
+"""Benchmark: KITTI ResNet18 640x192 inference on one chip — dense
+wavelet decode vs sparse decode (masked-dense and Pallas tile-skipping
+paths).
 
 Prints ONE JSON line:
   {"metric": "kitti_r18_640x192_sparse_fps", "value": <frames/sec>,
    "unit": "frames/sec", "vs_baseline": <sparse_fps / dense_fps>}
 
-Throughput is measured by pipelined dispatch (submit N frames without
-blocking, block once) — the batch-1 latency serving pattern. The primary
-number is the best sparse path at the default 0.05 threshold (the
-reference's --threshold default; ~10% density with trained weights,
-README.md:97); vs_baseline is its wall-clock speedup over our own dense
-decode on the same chip (the reference reports FLOPs only, BASELINE.md).
+Measurement: on this machine's remote-attached TPU, `block_until_ready`
+does not actually await execution and single fetches pay a large relay
+sync, so naive dispatch timing is meaningless (see PERF.md). Device time
+is measured by the slope method: one jit containing K serialized model
+evaluations (fori_loop, carry-dependent), fetched once; per-eval time =
+(t(K1) - t(K0)) / (K1 - K0). Sparse density is pinned near the paper's
+~10% operating point (threshold 0.2 with random-init weights;
+README.md:97).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -23,17 +26,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-
-def _throughput(fn, args, iters=100, warmup=8):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return iters / (time.perf_counter() - t0)
+BATCH = 16
+TH = 0.2
+K0, K1 = 1, 11
 
 
 def main():
@@ -46,73 +41,71 @@ def main():
     rng = jax.random.PRNGKey(0)
     encoder = ResnetEncoder(num_layers=18)
     decoder = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
-    x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
-    enc_vars = encoder.init(rng, x)
-    feats = encoder.apply(enc_vars, x)
-    dec_vars = decoder.init(rng, feats)
+    x1 = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+    enc_vars = encoder.init(rng, x1)
+    dec_vars = decoder.init(rng, encoder.apply(enc_vars, x1))
+    x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
 
-    @jax.jit
-    def dense(ev, dv, img):
-        return decoder.apply(dv, encoder.apply(ev, img))[("disp", 0)]
+    @functools.partial(jax.jit, static_argnames=("k", "th", "pallas"))
+    def chained(ev, dv, img, k, th=None, pallas=False):
+        def body(i, carry):
+            img_i = img + carry * 1e-9      # serialize iterations
+            if th is None:
+                d = decoder.apply(dv, encoder.apply(ev, img_i))[("disp",
+                                                                 0)]
+            else:
+                d = decoder.apply(dv, encoder.apply(ev, img_i),
+                                  thresh_ratio=th,
+                                  use_pallas=pallas)[("disp", 0)]
+            return carry + d.sum()
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    # threshold 0.2 lands at ~11% coefficient density with random-init
-    # weights — the paper's ~10% operating point (with trained weights the
-    # reference's default 0.05 threshold lands there instead, README.md:97)
-    TH = 0.2
+    def device_seconds_per_frame(th=None, pallas=False, reps=2):
+        float(chained(enc_vars, dec_vars, x, K0, th, pallas))  # compile
+        float(chained(enc_vars, dec_vars, x, K1, th, pallas))
 
-    @jax.jit
-    def sparse_masked(ev, dv, img):
-        out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=TH)
-        return out[("disp", 0)], compute_density(out)
+        def t(k):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chained(enc_vars, dec_vars, x, k, th, pallas))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
 
-    @jax.jit
-    def sparse_pallas(ev, dv, img):
-        out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=TH,
-                            use_pallas=True)
-        return out[("disp", 0)], compute_density(out)
+        return (t(K1) - t(K0)) / (K1 - K0) / BATCH
 
-    fps_dense = _throughput(dense, (enc_vars, dec_vars, x))
-    fps_masked = _throughput(sparse_masked, (enc_vars, dec_vars, x))
+    t_dense = device_seconds_per_frame()
+    t_masked = device_seconds_per_frame(th=TH)
     try:
-        fps_pallas = _throughput(sparse_pallas, (enc_vars, dec_vars, x))
-    except Exception as e:  # pallas path must not take down the bench
+        t_pallas = device_seconds_per_frame(th=TH, pallas=True)
+    except Exception as e:
         print(f"pallas path failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        fps_pallas = 0.0
-    _, density = sparse_masked(enc_vars, dec_vars, x)
+        t_pallas = float("inf")
 
-    # context numbers: bf16 full model (MXU-native) and batch-16 dense
-    # throughput (dispatch-amortized device capacity)
-    evb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
-                                 enc_vars)
-    dvb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
-                                 dec_vars)
-    fps_bf16 = _throughput(dense, (evb, dvb, x.astype(jnp.bfloat16)))
-    x16 = jnp.tile(x, (16, 1, 1, 1))
-    fps_b16 = 16 * _throughput(dense, (enc_vars, dec_vars, x16),
-                               iters=25, warmup=3)
-    try:
-        fps_b16_pallas = 16 * _throughput(
-            sparse_pallas, (enc_vars, dec_vars, x16), iters=25, warmup=3)
-    except Exception as e:
-        print(f"batched pallas failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        fps_b16_pallas = 0.0
+    @jax.jit
+    def density_of(ev, dv, img):
+        out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=TH)
+        return compute_density(out)
 
-    best = max(fps_masked, fps_pallas)
+    density = float(density_of(enc_vars, dec_vars, x))
+
+    fps = {"dense": 1.0 / t_dense, "masked": 1.0 / t_masked,
+           "pallas": (0.0 if t_pallas == float("inf") else 1.0 / t_pallas)}
+    best_name = max(("masked", "pallas"), key=lambda k: fps[k])
     result = {
         "metric": "kitti_r18_640x192_sparse_fps",
-        "value": round(best, 2),
+        "value": round(fps[best_name], 2),
         "unit": "frames/sec",
-        "vs_baseline": round(best / fps_dense, 3),
+        "vs_baseline": round(fps[best_name] / fps["dense"], 3),
         "extra": {
-            "dense_fps": round(fps_dense, 2),
-            "sparse_masked_fps": round(fps_masked, 2),
-            "sparse_pallas_fps": round(fps_pallas, 2),
-            "density": round(float(density), 4),
-            "dense_bf16_fps": round(fps_bf16, 2),
-            "dense_batch16_fps": round(fps_b16, 2),
-            "sparse_pallas_batch16_fps": round(fps_b16_pallas, 2),
+            "dense_fps": round(fps["dense"], 2),
+            "sparse_masked_fps": round(fps["masked"], 2),
+            "sparse_pallas_fps": round(fps["pallas"], 2),
+            "best_sparse_path": best_name,
+            "density": round(density, 4),
+            "batch": BATCH,
+            "measurement": "slope (serialized on-device loop)",
             "device": str(jax.devices()[0]),
         },
     }

@@ -95,3 +95,31 @@ def test_decoder_sparse_pallas_matches_oracle():
             np.asarray(oracle[("disp", s)]),
             np.asarray(pallas[("disp", s)]), atol=1e-5,
             err_msg=f"disp {s}")
+
+
+def test_2d_tile_sparse_matches_oracle():
+    from wavelet_monodepth_tpu.ops.pallas_conv import conv3x3_tile_sparse_2d
+    x, w, b = _data(h=24, w=200, cin=8, cout=8, seed=7)
+    rng = np.random.RandomState(8)
+    mask = jnp.asarray((rng.rand(24, 200, 1) > 0.7).astype(np.float32))
+    ours = conv3x3_tile_sparse_2d(x, w, b, mask, "reflect",
+                                  nonlin=jax.nn.sigmoid, th=8, tw=64,
+                                  interpret=True)
+    ref = sp.masked_conv3x3(x[None], w, b, None, mask[None], "reflect",
+                            jax.nn.sigmoid)[0]
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_2d_tile_sparse_batched():
+    from wavelet_monodepth_tpu.ops.pallas_conv import conv3x3_tile_sparse_2d
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 16, 128, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(4) * 0.1, jnp.float32)
+    mask = jnp.asarray((rng.rand(2, 16, 128, 1) > 0.5).astype(np.float32))
+    ours = conv3x3_tile_sparse_2d(x, w, b, mask, "zero", th=8, tw=64,
+                                  interpret=True)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, "zero", None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
