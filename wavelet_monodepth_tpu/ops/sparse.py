@@ -139,7 +139,7 @@ def compute_density(outputs: dict) -> Array:
         if k in outputs:
             m = outputs[k]
             num = num + jnp.sum(m)
-            den = den + m.shape[1] * m.shape[2]
+            den = den + m.shape[0] * m.shape[1] * m.shape[2]
     return num / den
 
 
