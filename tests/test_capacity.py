@@ -1,0 +1,101 @@
+"""Capacity-based tile-sparse conv vs the masked-dense oracle (pure XLA,
+runs everywhere)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.ops import sparse as sp
+from wavelet_monodepth_tpu.ops.capacity import (conv3x3_capacity_sparse,
+                                                tile_overflow)
+
+
+def _data(n=1, h=32, w=128, cin=8, cout=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(n, h, w, cin), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    return x, wgt, b
+
+
+def _clustered_mask(n, h, w, seed=1, spots=3):
+    rng = np.random.RandomState(seed)
+    m = np.zeros((n, h, w, 1), np.float32)
+    for i in range(n):
+        for _ in range(spots):
+            y0, x0 = rng.randint(h - 8), rng.randint(w - 8)
+            m[i, y0:y0 + 6, x0:x0 + 6] = 1.0
+    return jnp.asarray(m)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_exact_under_capacity(pad_mode):
+    x, w, b = _data()
+    mask = _clustered_mask(1, 32, 128)
+    assert int(tile_overflow(mask, 16, 64, 4).max()) == 0
+    ours = conv3x3_capacity_sparse(x, w, b, mask, pad_mode,
+                                   nonlin=jax.nn.elu, th=16, tw=64,
+                                   capacity_ratio=1.0)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, pad_mode, jax.nn.elu)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_exact_with_small_capacity_when_few_tiles_active():
+    x, w, b = _data(seed=2)
+    mask = jnp.zeros((1, 32, 128, 1)).at[:, 2:6, 10:30, :].set(1.0)
+    # only 1 tile active; capacity_ratio 0.25 -> K=2 slots: exact
+    ours = conv3x3_capacity_sparse(x, w, b, mask, "reflect", th=16,
+                                   tw=64, capacity_ratio=0.25)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, "reflect", None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_batched():
+    x, w, b = _data(n=3, seed=3)
+    mask = _clustered_mask(3, 32, 128, seed=4)
+    ours = conv3x3_capacity_sparse(x, w, b, mask, "reflect",
+                                   nonlin=jax.nn.sigmoid, th=16, tw=64,
+                                   capacity_ratio=1.0)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, "reflect",
+                            jax.nn.sigmoid)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_overflow_drops_least_active_tiles():
+    x, w, b = _data(seed=5)
+    # all tiles active, capacity 0.5 -> overflow; result zero outside the
+    # kept tiles, exact inside
+    mask = jnp.ones((1, 32, 128, 1))
+    assert int(tile_overflow(mask, 16, 64, 2).max()) == 2
+    ours = conv3x3_capacity_sparse(x, w, b, mask, "reflect", th=16,
+                                   tw=64, capacity_ratio=0.5)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, "reflect", None)
+    diff = np.abs(np.asarray(ours) - np.asarray(ref))[0, ..., 0]
+    # exactly half the tiles must match, half be zeroed
+    tiles_match = 0
+    tiles_zero = 0
+    for ihh in range(2):
+        for iww in range(2):
+            t = diff[ihh * 16:(ihh + 1) * 16, iww * 64:(iww + 1) * 64]
+            o = np.abs(np.asarray(ours))[0, ihh * 16:(ihh + 1) * 16,
+                                         iww * 64:(iww + 1) * 64, 0]
+            if t.max() < 1e-5:
+                tiles_match += 1
+            elif o.max() == 0.0:
+                tiles_zero += 1
+    assert tiles_match == 2 and tiles_zero == 2
+
+
+def test_non_tile_multiple_shapes():
+    x, w, b = _data(h=30, w=100, seed=6)
+    mask = _clustered_mask(1, 30, 100, seed=7)
+    ours = conv3x3_capacity_sparse(x, w, b, mask, "reflect", th=16,
+                                   tw=64, capacity_ratio=1.0)
+    ref = sp.masked_conv3x3(x, w, b, None, mask, "reflect", None)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)

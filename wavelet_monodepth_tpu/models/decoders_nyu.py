@@ -48,7 +48,10 @@ class DWConv3x3(nn.Module):
     pad_mode: str = "zero"
 
     @nn.compact
-    def __call__(self, x: Array, in_mask=None, out_mask=None, nonlin=None):
+    def __call__(self, x: Array, in_mask=None, out_mask=None, nonlin=None,
+                 use_pallas: bool = False):
+        # use_pallas accepted for interface parity; the depthwise variant
+        # always runs the XLA path
         cin = x.shape[-1]
         if in_mask is not None:
             x = x * in_mask
