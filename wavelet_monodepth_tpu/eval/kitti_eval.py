@@ -39,17 +39,22 @@ def batch_post_process_disparity(l_disp: np.ndarray,
 def predict_disps(forward: Callable, images: Iterable[np.ndarray],
                   min_depth: float = 0.1, max_depth: float = 100.0,
                   post_process: bool = False,
-                  sparse_threshold: Optional[float] = None):
+                  sparse_threshold: Optional[float] = None,
+                  collect_coeffs: bool = False):
     """Run the model over eval images (NHWC float arrays in [0,1]).
 
     forward(image_batch, thresh_ratio or None) -> decoder output dict.
     Returns (pred_disps (N,H,W), info dict with per-image total_ops /
-    densities when sparse). Sparse mode mirrors the reference's batch-1
-    double forward on the flipped input (`evaluate_depth.py:173-188`).
+    densities when sparse, and per-scale coefficient stacks when
+    collect_coeffs — the `--save_pred_disps --use_wavelets` surface of
+    `evaluate_depth.py:197-235`). Sparse mode mirrors the reference's
+    batch-1 double forward on the flipped input
+    (`evaluate_depth.py:173-188`).
     """
     disps = []
     total_ops = []
     densities = []
+    coeffs = {s: [] for s in range(4)} if collect_coeffs else None
     for img in images:
         if img.ndim == 3:
             img = img[None]
@@ -74,8 +79,18 @@ def predict_disps(forward: Callable, images: Iterable[np.ndarray],
             if post_process:
                 n = d.shape[0] // 2
                 d = batch_post_process_disparity(d[:n], d[n:, :, ::-1])
+        if coeffs is not None:
+            for s in range(4):
+                if ("wavelets", s, "LL") in out and \
+                        out[("wavelets", s, "LL")] is not None:
+                    per = np.stack([
+                        np.asarray(out[("wavelets", s, c)])[0, :, :, 0]
+                        for c in ("LL", "LH", "HL", "HH")], axis=0)
+                    coeffs[s].append(per)
         disps.append(d)
     info = {}
+    if coeffs is not None:
+        info["coeffs"] = {s: np.stack(v) for s, v in coeffs.items() if v}
     if total_ops:
         info["total_ops_mean"] = float(np.mean(total_ops))
         info["density_mean"] = float(np.mean(densities))

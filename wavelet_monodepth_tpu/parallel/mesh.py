@@ -17,6 +17,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up (`jax.distributed.initialize`): call once per
+    host before building the mesh. No-ops in single-process runs. DCN
+    carries only the input pipeline; gradient psum rides ICI."""
+    import os
+    if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ \
+            and coordinator_address is None:
+        return  # single-process
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(data: int | None = None, spatial: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -99,7 +99,8 @@ def main(argv=None):
                                     and opts.use_wavelets) else None
         pred_disps, info = kitti_eval.predict_disps(
             forward, images(), opts.min_depth, opts.max_depth,
-            post_process=opts.post_process, sparse_threshold=thresh)
+            post_process=opts.post_process, sparse_threshold=thresh,
+            collect_coeffs=(opts.save_pred_disps and opts.use_wavelets))
         if info:
             print(f"total_ops: mean {info['total_ops_mean'] / 1e9:2.3f} "
                   f"GFLOPs, density: {100 * info['density_mean']:.3f}%")
@@ -111,6 +112,11 @@ def main(argv=None):
         out = os.path.join(opts.load_weights_folder,
                            f"disps_{opts.eval_split}_split.npy")
         np.save(out, pred_disps)
+        # per-scale 4-coefficient stacks (`evaluate_depth.py:231-235`)
+        for s_, arr in info.get("coeffs", {}).items():
+            np.save(os.path.join(
+                opts.load_weights_folder,
+                f"disps_coeffs_s{s_}_{opts.eval_split}_split.npy"), arr)
 
     if opts.no_eval:
         print("-> Evaluation disabled. Done.")
