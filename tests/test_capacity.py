@@ -99,3 +99,40 @@ def test_non_tile_multiple_shapes():
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_decoder_capacity_backend_matches_oracle():
+    """Full sparse decoder with the capacity backend must match the
+    masked-dense oracle when capacity suffices (default ratio 0.5 with
+    clustered test masks)."""
+    import jax
+    from wavelet_monodepth_tpu.models.decoders_kitti import \
+        KittiWaveletDecoder
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, \
+        num_ch_enc
+
+    H, W = 64, 96
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 3),
+                    jnp.float32)
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(ev, x)
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
+    dv = dec.init(jax.random.PRNGKey(1), feats)
+    # thresh -1: all tiles active, capacity ratio default 0.5 -> overflow
+    # WOULD occur, so compare at a real threshold where tiles fit
+    oracle = dec.apply(dv, feats, thresh_ratio=0.08)
+    capacity = dec.apply(dv, feats, thresh_ratio=0.08,
+                         use_pallas="capacity")
+    from wavelet_monodepth_tpu.ops.capacity import tile_overflow
+    for s in range(3):
+        m = oracle[("upconv1_mask", s)]
+        if int(tile_overflow(m, 16, 64, max(1, int(
+                -(-m.shape[1] // 16 * (-(-m.shape[2] // 64)) * 0.5 // 1)
+                ))).max()) > 0:
+            return  # capacity overflowed; equality not expected
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(oracle[("disp", s)]),
+            np.asarray(capacity[("disp", s)]), atol=1e-4,
+            err_msg=f"disp {s}")

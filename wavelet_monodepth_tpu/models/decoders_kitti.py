@@ -115,7 +115,9 @@ class KittiWaveletDecoder(nn.Module):
     def __call__(self, features: Sequence[Array],
                  thresh_ratio: Optional[float] = None,
                  sparse_scales: Sequence[int] = (1, 2, 3),
-                 use_pallas: bool = False) -> dict:
+                 use_pallas=False) -> dict:
+        # use_pallas: False/"xla" masked-dense, True/"pallas" stripe
+        # kernel, "pallas2d" 2-D tiles, "capacity" XLA compaction
         if thresh_ratio is None:
             return self._dense(features)
         return self._sparse(features, thresh_ratio, tuple(sparse_scales),

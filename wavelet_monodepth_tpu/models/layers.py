@@ -42,9 +42,11 @@ def _torch_bias_init(fan_in: int):
 class Conv3x3(nn.Module):
     """Pad-then-conv 3x3 (`KITTI/layers.py:146-161`).
 
-    With `use_pallas=True` (and an out_mask) the compute routes
-    through the tile-skipping Pallas kernel (ops/pallas_conv.py) —
-    bit-compatible with the XLA path, but inactive tiles skip DMA+MXU.
+    `use_pallas` selects the sparse execution backend when an out_mask
+    is present: False/"xla" = masked dense (oracle), True/"pallas" =
+    row-stripe tile-skip kernel, "pallas2d" = 2-D tile-skip kernel,
+    "capacity" = pure-XLA top-K tile compaction (ops/capacity.py). All
+    are verified against the oracle; see PERF.md for trade-offs.
     """
     features: int
     pad_mode: str = "reflect"
@@ -61,12 +63,21 @@ class Conv3x3(nn.Module):
              if self.use_bias else None)
         if in_mask is not None:
             x = x * in_mask
-        if use_pallas and out_mask is not None:
+        backend = use_pallas if isinstance(use_pallas, str) else (
+            "pallas" if use_pallas else "xla")
+        if backend != "xla" and out_mask is not None:
+            bz = b if b is not None else jnp.zeros((self.features,),
+                                                   x.dtype)
+            if backend == "capacity":
+                from ..ops import capacity as cap
+                return cap.conv3x3_capacity_sparse(
+                    x, w, bz, out_mask, self.pad_mode, nonlin)
             from ..ops import pallas_conv as pc
             pnonlin = {jax.nn.elu: pc.elu,
                        jax.nn.sigmoid: pc.sigmoid}.get(nonlin, nonlin)
-            bz = b if b is not None else jnp.zeros((self.features,),
-                                                   x.dtype)
+            if backend == "pallas2d":
+                return pc.conv3x3_tile_sparse_2d(x, w, bz, out_mask,
+                                                 self.pad_mode, pnonlin)
             return pc.conv3x3_tile_sparse(x, w, bz, out_mask,
                                           self.pad_mode, pnonlin)
         y = convops.conv3x3(x, w, b, self.pad_mode)
