@@ -56,9 +56,15 @@ def _conv3x3_sum(x: Array, w9: Array, rows: int, cols: int) -> Array:
 
 
 def _up2(x: Array, rows: int, cols: int) -> Array:
-    """Nearest-x2 upsample of (rows, cols, C) -> (2*rows, 2*cols, C)."""
-    x = pltpu.repeat(x, 2, 0) if False else jnp.repeat(x, 2, axis=0)
-    return jnp.repeat(x, 2, axis=1)
+    """Nearest-x2 upsample of (rows, cols, C) -> (2*rows, 2*cols, C).
+    Gather-free (jnp.repeat lowers to an unsupported in-kernel gather):
+    broadcast + reshape interleaves instead."""
+    r, c, ch = x.shape
+    x = jnp.broadcast_to(x[:, None, :, :], (r, 2, c, ch)).reshape(
+        2 * r, c, ch)
+    x = jnp.broadcast_to(x[:, :, None, :], (2 * r, c, 2, ch)).reshape(
+        2 * r, 2 * c, ch)
+    return x
 
 
 def _fused_kernel(i_scale, hl, wl, wlp, ht, wt, wtp, cx, cs, cd,
@@ -75,26 +81,26 @@ def _fused_kernel(i_scale, hl, wl, wlp, ht, wt, wtp, cx, cs, cd,
     def _active():
         # x arrives pre-masked by the lowres mask (XLA side)
         x0 = elu(_conv3x3_sum(xt[0, 0], w0, hl + 2, wl + 2) + b0[0])
-        x0 = x0 * m_u0[0, 0][:, :wl + 2, None]            # (hl+2, wl+2, cd)
+        x0 = x0 * m_u0[0, 0][:, :wl + 2][:, :, None]            # (hl+2, wl+2, cd)
         # upsample to the high-res halo-2 window; mask with the upsample
         # mask (the skip was pre-masked with it in XLA)
         u = _up2(x0, hl + 2, wl + 2)[:, :wt + 4, :]
-        u = u * m_up[0, 0][:, :wt + 4, None]
+        u = u * m_up[0, 0][:, :wt + 4][:, :, None]
         s_m = st[0, 0][:, :wt + 4, :]
         # upconv1 = conv(concat(u, skip)) as split-weight sum
         x1 = elu(_conv3x3_sum(u, w1x, ht + 2, wt + 2)
                  + _conv3x3_sum(s_m, w1s, ht + 2, wt + 2) + b1[0])
-        x1 = x1 * m_u1[0, 0][:, :wt + 2, None]            # (ht+2, wt+2, cd)
+        x1 = x1 * m_u1[0, 0][:, :wt + 2][:, :, None]            # (ht+2, wt+2, cd)
         # waveconv heads
         hp = leaky_relu_01(jax.lax.dot_general(
             x1, wp1[0], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bp1[0])
-        hp = hp * m_u1[0, 0][:, :wt + 2, None]
+        hp = hp * m_u1[0, 0][:, :wt + 2][:, :, None]
         pos = sigmoid(_conv3x3_sum(hp, wp3, ht, wt) + bp3[0])
         hn = leaky_relu_01(jax.lax.dot_general(
             x1, wn1[0], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bn1[0])
-        hn = hn * m_u1[0, 0][:, :wt + 2, None]
+        hn = hn * m_u1[0, 0][:, :wt + 2][:, :, None]
         neg = sigmoid(_conv3x3_sum(hn, wn3, ht, wt) + bn3[0])
         yh = (2.0 ** (i_scale - 1)) * (pos - neg)
         yh = yh * m_wv[0, 0][:, :, None]                  # (ht, wt, 3)
@@ -155,7 +161,7 @@ def fused_wave_stage(x: Array, skip: Array, yl: Array, mask: Array,
                      w0: Array, b0: Array, w1: Array, b1: Array,
                      wp1: Array, bp1: Array, wp3: Array, bp3: Array,
                      wn1: Array, bn1: Array, wn3: Array, bn3: Array,
-                     i_scale: int, ht: int = 16, tw: int = 128,
+                     i_scale: int, ht: int = 8, tw: int = 64,
                      interpret: Optional[bool] = None):
     """One sparse decoder scale, fused.
 
@@ -203,7 +209,7 @@ def fused_wave_stage(x: Array, skip: Array, yl: Array, mask: Array,
     st = _tile5(_pad_to(sp_, n_h * ht, n_w * tw, 2, wtp4 - (tw + 4)),
                 n_h, n_w, ht, tw, 2, wtp4)
     ylt = _tile4(_pad_to(yl, n_h * ht, n_w * tw, 0, 0)[..., 0],
-                 n_h, n_w, ht, tw, 0, su(tw, 128))
+                 n_h, n_w, ht, tw, 0, tw)
     mt_u0 = _tile4(_pad_to(jnp.pad(m_upconv0, ((0, 0), (1, 1), (1, 1)))
                            [..., None], n_h * hl, n_w * wl, 1,
                            su(wl + 2) - (wl + 2))[..., 0],
@@ -219,7 +225,7 @@ def fused_wave_stage(x: Array, skip: Array, yl: Array, mask: Array,
                    n_h, n_w, ht, tw, 1, su(tw + 2))
     mt_wv = _tile4(_pad_to(m_wavelet[..., None], n_h * ht, n_w * tw,
                            0, 0)[..., 0],
-                   n_h, n_w, ht, tw, 0, su(tw, 128))
+                   n_h, n_w, ht, tw, 0, tw)
 
     # per-tile activity from upconv1 (the widest high-res compute mask)
     flags = (mt_u1.max(axis=(2, 3)) > 0).astype(jnp.int32).reshape(-1)
