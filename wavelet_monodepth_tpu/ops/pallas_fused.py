@@ -269,6 +269,8 @@ def fused_wave_stage(x: Array, skip: Array, yl: Array, mask: Array,
     yh_t, ph_t, x1_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((n, n_tiles, 3, ht, tw), jnp.float32),
             jax.ShapeDtypeStruct((n, n_tiles, 4, ht, tw), jnp.float32),
