@@ -109,10 +109,31 @@ def compute_errors_nyu(gt: np.ndarray, pred: np.ndarray):
     return abs_rel, rmse, log10, a1, a2, a3
 
 
+def save_outputs_pickle(outputs: dict, pred: np.ndarray, save_dir: str,
+                        idx: int):
+    """Per-image wavelet/prediction dump (`NYUv2/utils.py:231-248`)."""
+    import os
+    import pickle
+    to_save = {("disp", 0): np.asarray(outputs[("disp", 0)])[0]}
+    k = ("wavelets", 2, "LL")
+    if k in outputs:
+        to_save[k] = np.asarray(outputs[k])[0]
+    for scale in range(3):
+        for c in ("LH", "HL", "HH"):
+            kk = ("wavelets", scale, c)
+            if kk in outputs:
+                to_save[kk] = np.asarray(outputs[kk])[0, :, :, 0]
+    to_save["pred_depth"] = pred
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"results_{idx}.pickle"), "wb") as f:
+        pickle.dump(to_save, f)
+
+
 def predict_depth(forward: Callable, rgb_uint8: np.ndarray,
                   use_disparity: bool = False, use_224: bool = False,
                   sparse_threshold: Optional[float] = None,
-                  border_crop: int = 16) -> np.ndarray:
+                  border_crop: int = 16,
+                  return_outputs: bool = False):
     """One eval image (H, W, 3 uint8) -> clamped metric depth (480, 640)
     following `NYUv2/utils.py:183-229` exactly."""
     import jax.numpy as jnp
@@ -137,22 +158,31 @@ def predict_depth(forward: Callable, rgb_uint8: np.ndarray,
         pred = resize_bilinear(pred, pred.shape[1] * 2, pred.shape[2] * 2,
                                align_corners=True)
     pred = jnp.clip(pred, 0.4, 10.0)
-    return np.asarray(pred)[0, :, :, 0]
+    pred_np = np.asarray(pred)[0, :, :, 0]
+    if return_outputs:
+        return pred_np, out
+    return pred_np
 
 
 def evaluate(forward: Callable, rgbs: np.ndarray, depths: np.ndarray,
              edges_gt: Optional[np.ndarray] = None,
              use_disparity: bool = False, use_224: bool = False,
              sparse_threshold: Optional[float] = None,
-             crop=EIGEN_CROP):
+             crop=EIGEN_CROP, save_wavelets_dir: Optional[str] = None):
     """Full labeled-set evaluation loop (batch-1 per image like the
     reference, `utils.py:306-318`). Returns dict of mean metrics."""
     preds = []
     gts = []
     edge_scores = []
     for i in range(rgbs.shape[0]):
-        pred = predict_depth(forward, rgbs[i], use_disparity, use_224,
-                             sparse_threshold)
+        if save_wavelets_dir:
+            pred, outs = predict_depth(forward, rgbs[i], use_disparity,
+                                       use_224, sparse_threshold,
+                                       return_outputs=True)
+            save_outputs_pickle(outs, pred, save_wavelets_dir, i)
+        else:
+            pred = predict_depth(forward, rgbs[i], use_disparity,
+                                 use_224, sparse_threshold)
         if not use_224:
             gt = depths[i][crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]
             pc = pred[crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]

@@ -38,6 +38,7 @@ def main(argv=None):
     p.add_argument("--disparity", action="store_true")
     p.add_argument("--threshold", type=float, default=-1)
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--save_wavelets_dir", type=str, default=None)
     args = p.parse_args(argv)
 
     opts = NyuOptions(encoder_type=args.encoder_type,
@@ -95,7 +96,8 @@ def main(argv=None):
     result = nyu_eval.evaluate(forward, rgb, depth, edges_gt=edges,
                                use_disparity=args.disparity,
                                use_224=args.use_224,
-                               sparse_threshold=thresh)
+                               sparse_threshold=thresh,
+                               save_wavelets_dir=args.save_wavelets_dir)
     keys = ["abs_rel", "rmse", "log10", "a1", "a2", "a3"]
     if "eps_acc" in result:
         keys += ["eps_acc", "eps_comp"]
