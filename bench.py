@@ -83,6 +83,40 @@ def main():
               file=sys.stderr)
         t_pallas = float("inf")
 
+    # bf16 inference option (slope-measured): modest but real win
+    evb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                 enc_vars)
+    dvb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                 dec_vars)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained16(ev, dv, img, k):
+        def body(i, carry):
+            img_i = img + (carry * 1e-9).astype(img.dtype)
+            d = decoder.apply(dv, encoder.apply(ev, img_i))[("disp", 0)]
+            return carry + d.sum().astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def bf16_seconds_per_frame(reps=2):
+        xb = x.astype(jnp.bfloat16)
+        float(chained16(evb, dvb, xb, K0))
+        float(chained16(evb, dvb, xb, K1))
+
+        def t(k):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chained16(evb, dvb, xb, k))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (t(K1) - t(K0)) / (K1 - K0) / BATCH
+
+    try:
+        t_bf16 = bf16_seconds_per_frame()
+    except Exception:
+        t_bf16 = float("inf")
+
     @jax.jit
     def density_of(ev, dv, img):
         out = decoder.apply(dv, encoder.apply(ev, img), thresh_ratio=TH)
@@ -103,6 +137,8 @@ def main():
             "sparse_masked_fps": round(fps["masked"], 2),
             "sparse_pallas_fps": round(fps["pallas"], 2),
             "best_sparse_path": best_name,
+            "dense_bf16_fps": round(0.0 if t_bf16 == float("inf")
+                                    else 1.0 / t_bf16, 2),
             "density": round(density, 4),
             "batch": BATCH,
             "measurement": "slope (serialized on-device loop)",
