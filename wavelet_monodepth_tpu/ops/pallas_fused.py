@@ -41,10 +41,24 @@ from .pallas_conv import elu, leaky_relu_01, sigmoid
 Array = jnp.ndarray
 
 
-def _conv3x3_sum(x: Array, w9: Array, rows: int, cols: int) -> Array:
+def _conv3x3_sum(x: Array, w9: Array, rows: int, cols: int,
+                 flat: bool = True) -> Array:
     """Valid 3x3 conv via 9 channel-contraction dots.
-    x: (rows+2, >=cols+2, Cin); w9: (9, Cin, Cout)."""
-    acc = jnp.zeros((rows, cols, w9.shape[-1]), jnp.float32)
+    x: (rows+2, >=cols+2, Cin); w9: (9, Cin, Cout). flat=True folds the
+    spatial dims into one big-M GEMM per shift (better MXU utilization
+    for small tiles)."""
+    cin = x.shape[-1]
+    cout = w9.shape[-1]
+    if flat:
+        acc = jnp.zeros((rows * cols, cout), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                patch = x[ky:ky + rows, kx:kx + cols, :]
+                acc = acc + jnp.dot(patch.reshape(rows * cols, cin),
+                                    w9[ky * 3 + kx],
+                                    preferred_element_type=jnp.float32)
+        return acc.reshape(rows, cols, cout)
+    acc = jnp.zeros((rows, cols, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
             patch = x[ky:ky + rows, kx:kx + cols, :]
