@@ -127,3 +127,22 @@ def test_batched_sparse_matches_per_image(enc_feats, wave_setup):
         np.testing.assert_allclose(
             np.asarray(batched[("disp", 0)][n]),
             np.asarray(single[("disp", 0)][0]), atol=1e-5)
+
+
+def test_sparse_scales_subset_dense_fallback(enc_feats, wave_setup):
+    """With sparse_scales=(3,) scales 2 and 1 take the dense-fallback
+    branch (dense convs, yh masked) — reference depth_decoder.py:384-426.
+    At thresh=-1 every branch must still reproduce dense."""
+    dec, variables = wave_setup
+    dense = dec.apply(variables, enc_feats)
+    sparse = dec.apply(variables, enc_feats, thresh_ratio=-1.0,
+                       sparse_scales=(3,))
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(dense[("disp", s)]), np.asarray(sparse[("disp", s)]),
+            atol=1e-6, err_msg=f"disp {s}")
+    # thresholded run through the fallback branch stays close to dense
+    sp2 = dec.apply(variables, enc_feats, thresh_ratio=0.02,
+                    sparse_scales=(3,))
+    assert np.abs(np.asarray(dense[("disp", 0)])
+                  - np.asarray(sp2[("disp", 0)])).mean() < 0.05

@@ -110,3 +110,34 @@ def test_pose_input_all_posecnn():
     state, losses = setup.jit_train_step()(state, batch,
                                            jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_v1_multiscale_loss_path():
+    # v1_multiscale + hints is incoherent (guarded; the reference crashes
+    # there too) -> exercise it on the mdp path
+    import pytest
+    with pytest.raises(AssertionError):
+        KittiOptions(use_stereo=True, frame_ids=(0,),
+                     use_depth_hints=True, v1_multiscale=True,
+                     **TINY).validate_for_training()
+    opts = KittiOptions(use_stereo=True, frame_ids=(0,),
+                        use_depth_hints=False, use_wavelets=True,
+                        v1_multiscale=True, **TINY)
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    batch = synthetic_batch(opts, 2)
+    state, losses = setup.jit_train_step()(state, batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_no_ssim_and_avg_reprojection():
+    opts = KittiOptions(use_stereo=True, frame_ids=(0,),
+                        use_depth_hints=True, use_wavelets=True,
+                        no_ssim=True, avg_reprojection=True, **TINY)
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    batch = synthetic_batch(opts, 2)
+    state, losses = setup.jit_train_step()(state, batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))

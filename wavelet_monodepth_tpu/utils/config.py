@@ -90,6 +90,12 @@ class KittiOptions:
         if self.use_depth_hints:
             assert self.use_stereo or "s" in self.frame_ids, \
                 "Can't use depth hints without training from stereo"
+            # the hint reprojection is computed at full resolution; with
+            # v1_multiscale the per-scale losses live at scale resolution
+            # and the argmin concat is shape-incoherent (the reference
+            # crashes the same way at trainer.py:435-443)
+            assert not self.v1_multiscale, \
+                "--v1_multiscale is incompatible with --use_depth_hints"
 
     @property
     def all_frame_ids(self) -> tuple:
