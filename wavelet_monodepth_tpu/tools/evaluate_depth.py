@@ -92,8 +92,20 @@ def main(argv=None):
             img_ext=".png" if opts.png else ".jpg")
 
         def images():
+            # dense mode batches for throughput; sparse decoding keeps
+            # the reference's per-image double-forward structure
+            sparse_mode = opts.use_sparse and opts.use_wavelets
+            coeff_mode = opts.save_pred_disps and opts.use_wavelets
+            bs = 1 if (sparse_mode or coeff_mode) else \
+                max(1, opts.batch_size)
+            buf = []
             for i in range(len(ds)):
-                yield ds[i][("color", "0", 0)]
+                buf.append(ds[i][("color", "0", 0)])
+                if len(buf) == bs:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
 
         thresh = opts.threshold if (opts.use_sparse
                                     and opts.use_wavelets) else None
