@@ -68,3 +68,23 @@ def test_nyu_disparity_mode():
     depth = jnp.asarray(rng.rand(1, 32, 48, 1) * 5 + 1, jnp.float32)
     state, losses = setup.jit_train_step()(state, image, depth)
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_nyu_data_parallel_8_devices():
+    import jax
+    from wavelet_monodepth_tpu.parallel import mesh as mesh_lib
+
+    assert len(jax.devices()) == 8
+    setup = _setup()
+    m = mesh_lib.make_mesh(data=8)
+    state = mesh_lib.replicate(m, setup.init_state(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(3)
+    sh = mesh_lib.batch_sharding(m)
+    image = jax.device_put(
+        jnp.asarray(rng.rand(8, 64, 96, 3), jnp.float32), sh)
+    depth = jax.device_put(
+        jnp.asarray(rng.rand(8, 32, 48, 1) * 990 + 10, jnp.float32), sh)
+    state, losses = setup.jit_train_step()(state, image, depth)
+    assert np.isfinite(float(losses["loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8

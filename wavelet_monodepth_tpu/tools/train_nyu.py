@@ -30,6 +30,12 @@ def main(argv=None):
     state = setup.init_state(jax.random.PRNGKey(0))
     if opts.load_weights_folder:
         state = ckpt.load_checkpoint(opts.load_weights_folder, state)
+
+    mesh = None
+    if opts.data_axis > 1:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(data=opts.data_axis)
+        state = mesh_lib.replicate(mesh, state)
     step_fn = setup.jit_train_step()
     eval_fn = jax.jit(setup.make_eval_step())
 
@@ -46,6 +52,11 @@ def main(argv=None):
             batch = next(train_iter)
             image = jnp.asarray(batch["image"])
             depth = jnp.asarray(batch["depth"])
+            if mesh is not None:
+                from ..parallel import mesh as mesh_lib
+                sh = mesh_lib.batch_sharding(mesh)
+                image = jax.device_put(image, sh)
+                depth = jax.device_put(depth, sh)
             state, losses = step_fn(state, image, depth)
             if i % 5 == 0:
                 bt = time.time() - t_end
