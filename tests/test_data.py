@@ -137,3 +137,29 @@ def test_nyu_batch_iterator(nyu_zip):
     batch = next(it)
     assert batch["image"].shape == (2, 480, 640, 3)
     assert batch["depth"].shape == (2, 240, 320, 1)
+
+
+def test_prefetch_to_device():
+    import jax
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.data import prefetch
+
+    batches = [{"a": np.full((2, 4), float(i), np.float32)}
+               for i in range(5)]
+    out = list(prefetch.to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["a"], jax.Array)
+        np.testing.assert_allclose(np.asarray(b["a"]), float(i))
+
+
+def test_prefetch_sharded():
+    import jax
+    from wavelet_monodepth_tpu.parallel import mesh as mesh_lib
+    from wavelet_monodepth_tpu.data import prefetch
+
+    m = mesh_lib.make_mesh(data=8)
+    sh = mesh_lib.batch_sharding(m)
+    batches = [{"a": np.ones((8, 4), np.float32)}]
+    out = list(prefetch.to_device(iter(batches), sharding=sh))
+    assert len(out[0]["a"].sharding.device_set) == 8
