@@ -12,17 +12,25 @@ This kernel keeps one decoder scale entirely in VMEM per tile:
 with the stage's dilated masks applied exactly as the masked-dense
 oracle does (ops/sparse.py), and inactive tiles short-circuiting to the
 yl-only butterfly. Inputs arrive pre-tiled (one XLA materialization per
-tensor); outputs are tile stacks the caller re-interleaves.
+tensor; x and skip are pre-masked with their input masks in XLA);
+outputs are tile stacks the caller re-interleaves.
 
-Tile geometry (high-res tile HT x WT, low-res tile HT/2 x WT/2):
-  x      low-res halo 2:  (HT/2+4, WT/2+4)
-  skip   high-res halo 2: (HT+4, WT+4)
-  masks: lowres (lo halo 2), upconv0 (lo halo 1), upsample (hi halo 2),
-         upconv1 (hi halo 1), wavelet (hi), all 2-D planes
-  yl     high-res: (HT, WT)
+Tile geometry (high-res tile HT x WT, low-res tile HT/2 x WT/2;
+default (8, 64) — larger tiles exceed the 16MB scoped VMEM):
+  x      low-res, halo 2, pre-masked by lowres mask
+  skip   high-res, halo 2, pre-masked by upsample mask
+  masks passed as 2-D tile planes: upconv0 (lo, halo 1), upsample
+         (hi, halo 2), upconv1 (hi, halo 1), wavelet (hi)
+  yl     high-res (HT, WT)
 Outputs per tile: yh (3, HT, WT), IDWT phase planes (4, HT, WT)
 (caller interleaves to 2HT x 2WT), and x1 (HT, WT, Cd) for the next
 scale.
+
+Exactness: interior pixels (and all interior tile seams) match the
+oracle; a <=2px IMAGE-border ring differs because the oracle
+reflect-pads intermediate features while this kernel reflect-pads
+inputs. Status: correct but slower than the XLA oracle at this model
+scale (PERF.md) — kept as the round-2 optimization substrate.
 """
 
 from __future__ import annotations
