@@ -75,9 +75,8 @@ def main(argv=None):
     assert int(opts.eval_mono) + int(opts.eval_stereo) == 1, \
         "choose --eval_mono or --eval_stereo"
 
-    splits_dir = os.environ.get(
-        "WMD_SPLITS_DIR", os.path.join(opts.data_path, "splits"))
-    split_dir = os.path.join(splits_dir, opts.eval_split)
+    from ..data.splits import resolve_split_dir
+    split_dir = resolve_split_dir(opts.eval_split, opts.data_path)
 
     if opts.ext_disp_to_eval is None:
         files = kitti_data.readlines(

@@ -32,12 +32,15 @@ def main(argv=None):
     p.add_argument("--num_layers", type=int, default=18)
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
-    p.add_argument("--splits_dir", type=str, default="splits")
+    p.add_argument("--splits_dir", type=str, default=None)
     args = p.parse_args(argv)
 
+    from ..data.splits import resolve_split_dir
     seq = int(args.eval_split.split("_")[1])
+    odom_dir = (os.path.join(args.splits_dir, "odom") if args.splits_dir
+                else resolve_split_dir("odom", args.data_path))
     files = kitti_data.readlines(os.path.join(
-        args.splits_dir, "odom", f"test_files_{seq:02d}.txt"))
+        odom_dir, f"test_files_{seq:02d}.txt"))
 
     enc = ResnetEncoder(num_layers=args.num_layers, num_input_images=2)
     dec = PoseDecoder(num_ch_enc=num_ch_enc(args.num_layers),

@@ -26,10 +26,13 @@ def main(argv=None):
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--split", type=str, required=True,
                    choices=["eigen", "eigen_benchmark"])
-    p.add_argument("--splits_dir", type=str, default="splits")
+    p.add_argument("--splits_dir", type=str, default=None)
     args = p.parse_args(argv)
 
-    split_folder = os.path.join(args.splits_dir, args.split)
+    from ..data.splits import resolve_split_dir
+    split_folder = (os.path.join(args.splits_dir, args.split)
+                    if args.splits_dir
+                    else resolve_split_dir(args.split, args.data_path))
     lines = readlines(os.path.join(split_folder, "test_files.txt"))
     print(f"Exporting ground truth depths for {args.split}")
 

@@ -29,10 +29,8 @@ def main(argv=None):
     opts.validate_for_training()
     log_path = os.path.join(opts.log_dir, opts.model_name)
 
-    split_dir = os.path.join(opts.data_path, "splits", opts.split)
-    if not os.path.isdir(split_dir):
-        split_dir = os.path.join(os.path.dirname(opts.data_path),
-                                 "splits", opts.split)
+    from ..data.splits import resolve_split_dir
+    split_dir = resolve_split_dir(opts.split, opts.data_path)
     train_files = kitti_data.readlines(
         os.path.join(split_dir, "train_files.txt"))
     val_files = kitti_data.readlines(
