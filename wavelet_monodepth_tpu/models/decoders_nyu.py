@@ -214,7 +214,7 @@ class NyuDecoderWave(nn.Module):
         total = jnp.float32(0.0)
 
         x_m1 = features[-1]
-        total += sp.ops_dense_conv3x3(x_m1.shape, self.f)
+        total += sp.ops_dense_conv3x3_nyu(x_m1.shape, self.f)
         x_d0 = self.conv2(x_m1)
         x_d1 = self.up1(x_d0, features[-2])
         cat_c = x_d0.shape[-1] + features[-2].shape[-1]

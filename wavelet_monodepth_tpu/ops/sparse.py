@@ -183,6 +183,15 @@ def ops_dense_conv3x3(x_shape, ochn: int) -> Array:
     return jnp.asarray((1.0 + 9.0 * c * h * w) * ochn, jnp.float32)
 
 
+def ops_dense_conv3x3_nyu(x_shape, ochn: int) -> Array:
+    """Dense 3x3 conv cost as the NYU tree counts it
+    (`densedepth_decoder.py:352-353`): (1 + 9*C) * H * W * ochn — the
+    NYU reference counts the bias per output site, the KITTI reference
+    (`depth_decoder.py:386-387`) once per tensor. NHWC shape."""
+    _, h, w, c = x_shape
+    return jnp.asarray((1.0 + 9.0 * c) * h * w * ochn, jnp.float32)
+
+
 def ops_dense_conv1x1(x_shape, ichn: int, ochn: int) -> Array:
     """Dense 1x1 conv cost (`depth_decoder.py:248-250`)."""
     _, h, w, _ = x_shape
