@@ -94,3 +94,60 @@ def test_nyu_predict_depth_pipeline():
     pred = nyu_eval.predict_depth(forward, rgb)
     assert pred.shape == (480, 640)
     np.testing.assert_allclose(pred, 2.5, atol=1e-5)
+
+
+# --- exact-Canny fixtures (skimage semantics: interpolated NMS, 8-conn
+# hysteresis, border erosion; see nyu_eval module docstring) ---------------
+
+def test_canny_step_edge_is_thin_and_interior():
+    img = np.zeros((40, 40))
+    img[:, 20:] = 1.0
+    edges = nyu_eval.canny(img)
+    # a perfectly symmetric step ties the two center columns; skimage's
+    # <=-NMS keeps the 2-px plateau, nothing else
+    interior = edges[1:-1, :]
+    assert (interior.sum(axis=1) == 2).all()
+    cols = np.where(edges.any(axis=0))[0]
+    assert list(cols) == [19, 20]
+    # eroded mask: never any edge on the image border
+    assert not edges[0, :].any() and not edges[-1, :].any()
+    assert not edges[:, 0].any() and not edges[:, -1].any()
+
+
+def test_canny_diagonal_edge_is_thin():
+    ii, jj = np.mgrid[0:48, 0:48]
+    img = (jj > ii).astype(float)
+    edges = nyu_eval.canny(img)
+    assert edges.any()
+    # diagonal NMS: at most 2 hits per anti-gradient line, clustered on
+    # the diagonal
+    dist = np.abs(jj - ii)[edges]
+    assert dist.max() <= 2
+
+
+def test_canny_flat_image_no_edges():
+    assert not nyu_eval.canny(np.full((32, 32), 0.7)).any()
+    assert not nyu_eval.canny(np.zeros((32, 32))).any()
+
+
+def test_canny_hysteresis_keeps_connected_weak_drops_isolated():
+    # peak Sobel magnitude of a smoothed step is ~2.0x the step height, so
+    # step>=0.15 is a strong (>=0.3) seed and step in [0.075, 0.149) is the
+    # weak band. A contrast-decaying edge (strong top, weak bottom, one
+    # 8-connected component) is kept in full; the weak-only version dies.
+    amp_conn = np.linspace(0.4, 0.09, 48)[:, None]
+    img_conn = np.zeros((48, 40))
+    img_conn[:, 20:] = amp_conn
+    e_conn = nyu_eval.canny(img_conn)
+    assert e_conn[40:46, :].any()        # weak tail kept via connectivity
+
+    amp_weak = np.linspace(0.14, 0.09, 48)[:, None]   # all weak, no seed
+    img_weak = np.zeros((48, 40))
+    img_weak[:, 20:] = amp_weak
+    assert not nyu_eval.canny(img_weak).any()
+
+
+def test_canny_low_threshold_gates_weak_edges():
+    img = np.zeros((32, 32))
+    img[:, 16:] = 0.03                   # peak magnitude ~0.06 < low=0.15
+    assert not nyu_eval.canny(img).any()

@@ -8,10 +8,14 @@ clamp [0.4, 10] -> Eigen crop [20:460, 24:616] -> metrics.
 
 Edge metrics: Canny on the normalized prediction vs NYUv2-OC++ GT edges,
 truncated chamfer distances -> (eps_acc, eps_comp). The reference uses
-skimage.feature.canny (`utils.py:137`); skimage is not available here so
-ops-level Canny (gaussian -> Sobel -> 4-direction NMS -> hysteresis) is
-implemented below — thresholds and sigma match, small numeric deviations
-in edge placement are possible.
+skimage.feature.canny (`utils.py:137`); skimage is not installable here,
+so `canny` below is an exact port of that algorithm's published
+semantics (scikit-image <=0.18 `feature.canny`): masked-normalized
+constant-mode Gaussian smoothing, Sobel gradients, sector-wise
+*interpolated* non-maximum suppression (sub-pixel neighbor values along
+the gradient, not 4-bin quantized), and hysteresis via 8-connected
+labeling of >=low pixels retained when the component contains a >=high
+pixel. Border pixels are excluded by the 3x3 mask erosion like skimage.
 """
 
 from __future__ import annotations
@@ -24,38 +28,109 @@ from scipy import ndimage
 EIGEN_CROP = (20, 459, 24, 615)   # `evaluate.py:56`
 
 
-def canny(img: np.ndarray, sigma: float = np.sqrt(2),
+def canny(image: np.ndarray, sigma: float = np.sqrt(2),
           low_threshold: float = 0.15,
           high_threshold: float = 0.3) -> np.ndarray:
-    """Canny edge detector on a float image (absolute thresholds on
-    gradient magnitude, skimage-compatible conventions)."""
-    smoothed = ndimage.gaussian_filter(img.astype(np.float64), sigma)
-    gx = ndimage.sobel(smoothed, axis=1)
-    gy = ndimage.sobel(smoothed, axis=0)
-    mag = np.hypot(gx, gy)
-    if mag.max() == 0:
-        return np.zeros_like(img, dtype=bool)
+    """skimage.feature.canny-exact edge detector (absolute thresholds on
+    Sobel gradient magnitude). See module docstring for provenance."""
+    image = np.asarray(image, dtype=np.float64)
+    mask = np.ones(image.shape, dtype=bool)
 
-    # non-maximum suppression over 4 quantized directions
-    angle = np.rad2deg(np.arctan2(gy, gx)) % 180.0
-    nms = np.zeros_like(mag)
-    pad = np.pad(mag, 1, mode="constant")
-    h, w = mag.shape
-    ys, xs = np.mgrid[0:h, 0:w]
-    dir_bins = ((angle + 22.5) // 45).astype(int) % 4
-    offsets = {0: (0, 1), 1: (-1, 1), 2: (-1, 0), 3: (-1, -1)}
-    for b, (dy, dx) in offsets.items():
-        sel = dir_bins == b
-        n1 = pad[ys + 1 + dy, xs + 1 + dx]
-        n2 = pad[ys + 1 - dy, xs + 1 - dx]
-        keep = sel & (mag >= n1) & (mag >= n2)
-        nms[keep] = mag[keep]
+    # --- smoothing: gaussian(image)/gaussian(ones), mode='constant' ------
+    bleed_over = ndimage.gaussian_filter(mask.astype(np.float64), sigma,
+                                         mode="constant")
+    smoothed = ndimage.gaussian_filter(image, sigma, mode="constant")
+    smoothed = smoothed / (bleed_over + np.finfo(float).eps)
 
-    strong = nms >= high_threshold
-    weak = nms >= low_threshold
-    # hysteresis: keep weak pixels connected to strong ones
-    edges = ndimage.binary_propagation(strong, mask=weak)
-    return edges
+    jsobel = ndimage.sobel(smoothed, axis=1)
+    isobel = ndimage.sobel(smoothed, axis=0)
+    abs_i = np.abs(isobel)
+    abs_j = np.abs(jsobel)
+    magnitude = np.hypot(isobel, jsobel)
+
+    eroded_mask = ndimage.binary_erosion(mask, np.ones((3, 3), bool),
+                                         border_value=0)
+    eroded_mask = eroded_mask & (magnitude > 0)
+
+    local_maxima = np.zeros(image.shape, bool)
+
+    def _sector(pts, w, plus_1, plus_2, minus_1, minus_2):
+        """Interpolated NMS for one gradient sector.
+
+        plus/minus_{1,2} are ((mag_slice), (pts_slice)) index pairs:
+        neighbor values c1/c2 along +/- gradient; keep pts where
+        m >= c2*w + c1*(1-w) on both sides.
+        """
+        if not pts.any():
+            return
+        m = magnitude[pts]
+        c1p = magnitude[plus_1[0]][pts[plus_1[1]]]
+        c2p = magnitude[plus_2[0]][pts[plus_2[1]]]
+        c_plus = c2p * w[pts] + c1p * (1.0 - w[pts]) <= m
+        c1m = magnitude[minus_1[0]][pts[minus_1[1]]]
+        c2m = magnitude[minus_2[0]][pts[minus_2[1]]]
+        c_minus = c2m * w[pts] + c1m * (1.0 - w[pts]) <= m
+        local_maxima[pts] = c_plus & c_minus
+
+    s = (slice(None), slice(None))
+    sp = (slice(1, None), slice(None))      # rows 1:
+    sm = (slice(None, -1), slice(None))     # rows :-1
+    cp = (slice(None), slice(1, None))      # cols 1:
+    cm = (slice(None), slice(None, -1))     # cols :-1
+
+    same_sign = ((isobel >= 0) & (jsobel >= 0)) | \
+                ((isobel <= 0) & (jsobel <= 0))
+    diff_sign = ((isobel <= 0) & (jsobel >= 0)) | \
+                ((isobel >= 0) & (jsobel <= 0))
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w_ji = np.where(abs_i > 0, abs_j / np.maximum(abs_i, 1e-300), 0.0)
+        w_ij = np.where(abs_j > 0, abs_i / np.maximum(abs_j, 1e-300), 0.0)
+
+    # sector 1: same sign, |di| >= |dj| — gradient ~ (+1, +w)
+    pts = eroded_mask & same_sign & (abs_i >= abs_j)
+    _sector(pts, w_ji,
+            ((sp[0], s[1]), (sm[0], s[1])),        # c1+: (i+1, j)
+            ((sp[0], cp[1]), (sm[0], cm[1])),      # c2+: (i+1, j+1)
+            ((sm[0], s[1]), (sp[0], s[1])),        # c1-: (i-1, j)
+            ((sm[0], cm[1]), (sp[0], cp[1])))      # c2-: (i-1, j-1)
+
+    # sector 2: same sign, |dj| >= |di| — gradient ~ (+w, +1)
+    pts = eroded_mask & same_sign & (abs_j >= abs_i)
+    _sector(pts, w_ij,
+            ((s[0], cp[1]), (s[0], cm[1])),        # c1+: (i, j+1)
+            ((sp[0], cp[1]), (sm[0], cm[1])),      # c2+: (i+1, j+1)
+            ((s[0], cm[1]), (s[0], cp[1])),        # c1-: (i, j-1)
+            ((sm[0], cm[1]), (sp[0], cp[1])))      # c2-: (i-1, j-1)
+
+    # sector 3: diff sign, |dj| >= |di| — gradient ~ (-w, +1)
+    pts = eroded_mask & diff_sign & (abs_j >= abs_i)
+    _sector(pts, w_ij,
+            ((s[0], cp[1]), (s[0], cm[1])),        # c1+: (i, j+1)
+            ((sm[0], cp[1]), (sp[0], cm[1])),      # c2+: (i-1, j+1)
+            ((s[0], cm[1]), (s[0], cp[1])),        # c1-: (i, j-1)
+            ((sp[0], cm[1]), (sm[0], cp[1])))      # c2-: (i+1, j-1)
+
+    # sector 4: diff sign, |di| >= |dj| — gradient ~ (-1, +w)
+    pts = eroded_mask & diff_sign & (abs_i >= abs_j)
+    _sector(pts, w_ji,
+            ((sm[0], s[1]), (sp[0], s[1])),        # c1+: (i-1, j)
+            ((sm[0], cp[1]), (sp[0], cm[1])),      # c2+: (i-1, j+1)
+            ((sp[0], s[1]), (sm[0], s[1])),        # c1-: (i+1, j)
+            ((sp[0], cm[1]), (sm[0], cp[1])))      # c2-: (i+1, j-1)
+
+    # --- hysteresis: 8-connected components of >=low containing >=high ---
+    high_mask = local_maxima & (magnitude >= high_threshold)
+    low_mask = local_maxima & (magnitude >= low_threshold)
+    strel = np.ones((3, 3), bool)
+    labels, count = ndimage.label(low_mask, strel)
+    if count == 0:
+        return low_mask
+    sums = ndimage.sum(high_mask, labels,
+                       np.arange(count, dtype=np.int32) + 1)
+    good_label = np.zeros((count + 1,), bool)
+    good_label[1:] = sums > 0
+    return good_label[labels]
 
 
 def compute_depth_boundary_error(edges_gt: np.ndarray, pred: np.ndarray,
