@@ -151,7 +151,10 @@ def main(argv=None):
         lookup = load(other_folder)
         depths = compute_depths(matchers, base, lookup, args.width,
                                 reverse=(side == "r"))
-        baseline_sign = -1 if side == "r" else 1
+        # side 'l' -> -baseline, 'r' -> +baseline
+        # (`precompute_depth_hints.py:160-174`, matches mono_dataset's
+        # side_sign convention)
+        baseline_sign = -1 if side == "l" else 1
         best = fuse_depths(depths, base, lookup, baseline_sign)
 
         os.makedirs(out_dir, exist_ok=True)
