@@ -54,6 +54,11 @@ def _load_forward(opts, torch_model_path):
         dec_vars = {"params": flax.serialization.from_state_dict(
             dec_vars["params"], raw["params"]["depth"])}
 
+    if opts.bfloat16:
+        from ..utils.precision import cast_floats
+        enc_vars = cast_floats(enc_vars, jnp.bfloat16)
+        dec_vars = cast_floats(dec_vars, jnp.bfloat16)
+
     import functools
 
     @functools.partial(jax.jit, static_argnames=("thresh",))
@@ -63,6 +68,9 @@ def _load_forward(opts, torch_model_path):
             return decoder.apply(dec_vars, feats)
         return decoder.apply(dec_vars, feats, thresh_ratio=thresh)
 
+    if opts.bfloat16:
+        from ..utils.precision import wrap_forward_bf16
+        return wrap_forward_bf16(forward)
     return forward
 
 

@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=-1)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--save_wavelets_dir", type=str, default=None)
+    p.add_argument("--bfloat16", action="store_true",
+                   help="run the model in bfloat16 (outputs f32)")
     args = p.parse_args(argv)
 
     opts = NyuOptions(encoder_type=args.encoder_type,
@@ -70,6 +72,11 @@ def main(argv=None):
         dec_vars = {"params": flax.serialization.from_state_dict(
             dec_vars["params"], raw["params"]["decoder"])}
 
+    if args.bfloat16:
+        from ..utils.precision import cast_floats
+        enc_vars = cast_floats(enc_vars, jnp.bfloat16)
+        dec_vars = cast_floats(dec_vars, jnp.bfloat16)
+
     import functools
 
     @functools.partial(jax.jit, static_argnames=("thresh",))
@@ -78,6 +85,10 @@ def main(argv=None):
         if thresh is not None and args.use_wavelets and args.use_sparse:
             return decoder.apply(dec_vars, feats, thresh_ratio=thresh)
         return decoder.apply(dec_vars, feats)
+
+    if args.bfloat16:
+        from ..utils.precision import wrap_forward_bf16
+        forward = wrap_forward_bf16(forward)
 
     rgb, depth = nyu_eval.load_nyu_labeled(args.data_path,
                                            args.splits_path)

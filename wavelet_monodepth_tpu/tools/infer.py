@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--use_wavelets", action="store_true", default=True)
     p.add_argument("--use_sparse", action="store_true")
     p.add_argument("--threshold", type=float, default=0.1)
+    p.add_argument("--bfloat16", action="store_true",
+                   help="run the model in bfloat16 (outputs f32)")
     return p.parse_args(argv)
 
 
@@ -80,12 +82,20 @@ def load_model(args):
         dec_vars = {"params": flax.serialization.from_state_dict(
                         dec_vars["params"], params["depth"])}
 
+    if getattr(args, "bfloat16", False):
+        from ..utils.precision import cast_floats
+        enc_vars = cast_floats(enc_vars, jnp.bfloat16)
+        dec_vars = cast_floats(dec_vars, jnp.bfloat16)
+
     def forward(image, thresh):
         feats = encoder.apply(enc_vars, image)
         if thresh is None:
             return decoder.apply(dec_vars, feats)
         return decoder.apply(dec_vars, feats, thresh_ratio=thresh)
 
+    if getattr(args, "bfloat16", False):
+        from ..utils.precision import wrap_forward_bf16
+        forward = wrap_forward_bf16(forward)
     return forward, (feed_h, feed_w)
 
 
