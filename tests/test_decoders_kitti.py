@@ -62,18 +62,20 @@ def test_wavelet_dense(enc_feats, wave_setup):
 def test_sparse_equals_dense_at_threshold_minus1(enc_feats, wave_setup):
     """The notebook oracle (KITTI sparsity notebook cell 13): at
     thresh_ratio=-1 every mask is all-ones and the sparse decoder must
-    reproduce the dense decoder bit-for-bit."""
+    reproduce the dense decoder. atol 1e-5 (not bit-equal) because the
+    dense path fuses the pos+neg heads into one block-diagonal conv —
+    identical math, different float accumulation order."""
     dec, variables = wave_setup
     dense = dec.apply(variables, enc_feats)
     sparse = dec.apply(variables, enc_feats, thresh_ratio=-1.0)
     for s in range(4):
         np.testing.assert_allclose(
             np.asarray(dense[("disp", s)]), np.asarray(sparse[("disp", s)]),
-            atol=1e-6, err_msg=f"disp scale {s}")
+            atol=1e-5, err_msg=f"disp scale {s}")
         for c in ("LH", "HL", "HH"):
             np.testing.assert_allclose(
                 np.asarray(dense[("wavelets", s, c)]),
-                np.asarray(sparse[("wavelets", s, c)]), atol=1e-6)
+                np.asarray(sparse[("wavelets", s, c)]), atol=1e-5)
         assert float(sparse[("wavelet_mask", s)].mean()) == 1.0
 
 
@@ -82,10 +84,11 @@ def test_sparse_thresholded(enc_feats, wave_setup):
     out = dec.apply(variables, enc_feats, thresh_ratio=0.05)
     dens = float(compute_density(out))
     assert 0.0 <= dens <= 1.0
-    assert float(out[("total_ops", -1)]) > 0
+    assert float(np.sum(out[("total_ops", -1)])) > 0
     # thresholded run must cost fewer counted ops than the all-on run
     out_full = dec.apply(variables, enc_feats, thresh_ratio=-1.0)
-    assert float(out[("total_ops", -1)]) <= float(out_full[("total_ops", -1)])
+    assert float(np.sum(out[("total_ops", -1)])) <= \
+        float(np.sum(out_full[("total_ops", -1)]))
     # masks only exist for sparse mode and with the right resolutions
     for s in range(4):
         m = out[("wavelet_mask", s)]

@@ -151,3 +151,64 @@ def test_canny_low_threshold_gates_weak_edges():
     img = np.zeros((32, 32))
     img[:, 16:] = 0.03                   # peak magnitude ~0.06 < low=0.15
     assert not nyu_eval.canny(img).any()
+
+
+# --- batched eval == sequential eval (per-image thresholds/op counts) -----
+
+def _tiny_kitti_forward():
+    import jax
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.models.decoders_kitti import \
+        KittiWaveletDecoder
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, num_ch_enc
+    rng = jax.random.PRNGKey(0)
+    enc = ResnetEncoder(num_layers=18)
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    ev = enc.init(rng, x)
+    dv = dec.init(rng, enc.apply(ev, x))
+
+    def forward(image, thresh=None):
+        feats = enc.apply(ev, image)
+        if thresh is None:
+            return dec.apply(dv, feats)
+        return dec.apply(dv, feats, thresh_ratio=thresh)
+    return forward
+
+
+def test_batched_sparse_eval_equals_sequential():
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(4, 64, 96, 3).astype(np.float32)
+    forward = _tiny_kitti_forward()
+
+    d_batch, info_b = kitti_eval.predict_disps(
+        forward, [imgs], sparse_threshold=0.04)
+    d_seq, info_s = kitti_eval.predict_disps(
+        forward, [imgs[i] for i in range(4)], sparse_threshold=0.04)
+    np.testing.assert_allclose(d_batch, d_seq, atol=2e-4)
+    assert info_b["total_ops_mean"] == pytest.approx(
+        info_s["total_ops_mean"], rel=1e-6)
+    assert info_b["density_mean"] == pytest.approx(
+        info_s["density_mean"], rel=1e-6)
+
+
+def test_nyu_batched_predict_equals_per_image():
+    rng = np.random.RandomState(4)
+    rgbs = (rng.rand(3, 480, 640, 3) * 255).astype(np.uint8)
+    forward = _tiny_nyu_like_forward()
+
+    batch = nyu_eval.predict_depth_batch(forward, rgbs)
+    for i in range(3):
+        single = nyu_eval.predict_depth(forward, rgbs[i])
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+def _tiny_nyu_like_forward():
+    """A cheap stand-in model: a fixed conv producing ("disp", 0) — the
+    batching contract being tested lives in the pre/post-processing."""
+    import jax.numpy as jnp
+
+    def forward(x, thresh=None):
+        d = 50.0 + 400.0 * jnp.mean(x, axis=-1, keepdims=True)
+        return {("disp", 0): d}
+    return forward

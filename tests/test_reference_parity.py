@@ -245,11 +245,11 @@ def test_kitti_sparse_decoder_parity(ref_kitti_decoders):
 
     # analytic op counters must agree with the reference's inline counts
     ref_total = float(ref_out["total_ops"])
-    got_total = float(out[("total_ops", -1)])
+    got_total = float(np.sum(out[("total_ops", -1)]))
     assert got_total == pytest.approx(ref_total, rel=1e-6), \
         (got_total, ref_total)
     for s in range(4):
-        assert float(out[("total_ops", s)]) == pytest.approx(
+        assert float(np.sum(out[("total_ops", s)])) == pytest.approx(
             float(ref_out[("total_ops", s)]), rel=1e-6), f"ops@{s}"
 
 
@@ -366,7 +366,7 @@ def test_nyu_sparse_decoder_parity(ref_nyu_decoders):
     # are float32 on ~8e8 magnitudes, so compare at rel=1e-6.
     h0, w0 = np.asarray(out[("disp", 0)]).shape[1:3]
     ref_total = float(ref_out["total_ops"])
-    got_total = float(out[("total_ops", -1)])
+    got_total = float(np.sum(out[("total_ops", -1)]))
     assert got_total + (h0 // 2) * (w0 // 2) == pytest.approx(
         ref_total, rel=1e-6), (got_total, ref_total)
 

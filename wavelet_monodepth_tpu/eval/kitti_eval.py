@@ -48,8 +48,9 @@ def predict_disps(forward: Callable, images: Iterable[np.ndarray],
     densities when sparse, and per-scale coefficient stacks when
     collect_coeffs — the `--save_pred_disps --use_wavelets` surface of
     `evaluate_depth.py:197-235`). Sparse mode mirrors the reference's
-    batch-1 double forward on the flipped input
-    (`evaluate_depth.py:173-188`).
+    double forward on the flipped input (`evaluate_depth.py:173-188`),
+    batched: thresholds and op counts are per-image, so a batched sparse
+    decode equals N sequential batch-1 decodes (tested).
     """
     disps = []
     total_ops = []
@@ -62,11 +63,15 @@ def predict_disps(forward: Callable, images: Iterable[np.ndarray],
         if sparse_threshold is not None:
             out = forward(x, sparse_threshold)
             d, _ = disp_to_depth(out[("disp", 0)], min_depth, max_depth)
-            total_ops.append(float(out[("total_ops", -1)]))
-            densities.append(float(compute_density(out)))
+            total_ops.extend(
+                np.ravel(np.asarray(out[("total_ops", -1)])).tolist())
+            densities.extend(
+                np.ravel(np.asarray(compute_density(
+                    out, per_image=True))).tolist())
             out_f = forward(jnp.flip(x, axis=2), sparse_threshold)
             df, _ = disp_to_depth(out_f[("disp", 0)], min_depth, max_depth)
-            total_ops.append(float(out_f[("total_ops", -1)]))
+            total_ops.extend(
+                np.ravel(np.asarray(out_f[("total_ops", -1)])).tolist())
             d = np.asarray(d)[..., 0]
             df = np.asarray(df)[..., 0]
             d = batch_post_process_disparity(d, df[:, :, ::-1])

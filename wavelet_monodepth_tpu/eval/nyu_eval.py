@@ -204,18 +204,21 @@ def save_outputs_pickle(outputs: dict, pred: np.ndarray, save_dir: str,
         pickle.dump(to_save, f)
 
 
-def predict_depth(forward: Callable, rgb_uint8: np.ndarray,
-                  use_disparity: bool = False, use_224: bool = False,
-                  sparse_threshold: Optional[float] = None,
-                  border_crop: int = 16,
-                  return_outputs: bool = False):
-    """One eval image (H, W, 3 uint8) -> clamped metric depth (480, 640)
-    following `NYUv2/utils.py:183-229` exactly."""
+def predict_depth_batch(forward: Callable, rgb_uint8: np.ndarray,
+                        use_disparity: bool = False, use_224: bool = False,
+                        sparse_threshold: Optional[float] = None,
+                        border_crop: int = 16,
+                        return_outputs: bool = False):
+    """A batch of eval images (B, H, W, 3 uint8) -> clamped metric depths
+    (B, 480, 640) following `NYUv2/utils.py:183-229` exactly per image
+    (every op — resize, forward incl. per-image sparse thresholds, the
+    pad/upscale dance, clamp — is per-image independent, so a batched
+    call equals the reference's batch-1 loop; tested)."""
     import jax.numpy as jnp
     from ..ops.image import pad2d, resize_bilinear
 
-    x = rgb_uint8[border_crop:-border_crop, border_crop:-border_crop, :]
-    x = jnp.asarray(x, jnp.float32)[None] / 255.0
+    x = rgb_uint8[:, border_crop:-border_crop, border_crop:-border_crop, :]
+    x = jnp.asarray(x, jnp.float32) / 255.0
     tgt = (224, 224) if use_224 else (480, 640)
     x = resize_bilinear(x, *tgt, align_corners=True)
 
@@ -233,42 +236,65 @@ def predict_depth(forward: Callable, rgb_uint8: np.ndarray,
         pred = resize_bilinear(pred, pred.shape[1] * 2, pred.shape[2] * 2,
                                align_corners=True)
     pred = jnp.clip(pred, 0.4, 10.0)
-    pred_np = np.asarray(pred)[0, :, :, 0]
+    pred_np = np.asarray(pred)[:, :, :, 0]
     if return_outputs:
         return pred_np, out
     return pred_np
+
+
+def predict_depth(forward: Callable, rgb_uint8: np.ndarray,
+                  use_disparity: bool = False, use_224: bool = False,
+                  sparse_threshold: Optional[float] = None,
+                  border_crop: int = 16,
+                  return_outputs: bool = False):
+    """One eval image (H, W, 3 uint8) -> clamped metric depth (480, 640)."""
+    res = predict_depth_batch(forward, rgb_uint8[None], use_disparity,
+                              use_224, sparse_threshold, border_crop,
+                              return_outputs)
+    if return_outputs:
+        return res[0][0], res[1]
+    return res[0]
 
 
 def evaluate(forward: Callable, rgbs: np.ndarray, depths: np.ndarray,
              edges_gt: Optional[np.ndarray] = None,
              use_disparity: bool = False, use_224: bool = False,
              sparse_threshold: Optional[float] = None,
-             crop=EIGEN_CROP, save_wavelets_dir: Optional[str] = None):
-    """Full labeled-set evaluation loop (batch-1 per image like the
-    reference, `utils.py:306-318`). Returns dict of mean metrics."""
+             crop=EIGEN_CROP, save_wavelets_dir: Optional[str] = None,
+             batch_size: int = 8):
+    """Full labeled-set evaluation. Semantically the reference's
+    per-image loop (`utils.py:306-318`) but executed in device batches
+    (per-image-equivalent, see predict_depth_batch) so the 654-image run
+    is not dispatch-bound; wavelet-saving mode stays per-image."""
     preds = []
     gts = []
     edge_scores = []
-    for i in range(rgbs.shape[0]):
+    bs = 1 if save_wavelets_dir else max(1, batch_size)
+    for b0 in range(0, rgbs.shape[0], bs):
+        batch = rgbs[b0:b0 + bs]
         if save_wavelets_dir:
-            pred, outs = predict_depth(forward, rgbs[i], use_disparity,
-                                       use_224, sparse_threshold,
-                                       return_outputs=True)
-            save_outputs_pickle(outs, pred, save_wavelets_dir, i)
+            pred_b, outs = predict_depth_batch(
+                forward, batch, use_disparity, use_224, sparse_threshold,
+                return_outputs=True)
+            save_outputs_pickle(outs, pred_b[0], save_wavelets_dir, b0)
         else:
-            pred = predict_depth(forward, rgbs[i], use_disparity,
-                                 use_224, sparse_threshold)
-        if not use_224:
-            gt = depths[i][crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]
-            pc = pred[crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]
-        else:
-            gt, pc = depths[i], pred
-        preds.append(pc)
-        gts.append(gt)
-        if edges_gt is not None:
-            acc, com, _ = compute_depth_boundary_error(
-                edges_gt[i][crop[0]:crop[1] + 1, crop[2]:crop[3] + 1], pc)
-            edge_scores.append((acc, com))
+            pred_b = predict_depth_batch(forward, batch, use_disparity,
+                                         use_224, sparse_threshold)
+        for j in range(pred_b.shape[0]):
+            i = b0 + j
+            pred = pred_b[j]
+            if not use_224:
+                gt = depths[i][crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]
+                pc = pred[crop[0]:crop[1] + 1, crop[2]:crop[3] + 1]
+            else:
+                gt, pc = depths[i], pred
+            preds.append(pc)
+            gts.append(gt)
+            if edges_gt is not None:
+                acc, com, _ = compute_depth_boundary_error(
+                    edges_gt[i][crop[0]:crop[1] + 1,
+                                crop[2]:crop[3] + 1], pc)
+                edge_scores.append((acc, com))
 
     pred_all = np.stack(preds)
     gt_all = np.stack(gts)

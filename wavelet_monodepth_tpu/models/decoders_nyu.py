@@ -211,7 +211,7 @@ class NyuDecoderWave(nn.Module):
     def _sparse(self, features: Sequence[Array], thresh_ratio,
                 use_pallas: bool = False) -> dict:
         outputs = {}
-        total = jnp.float32(0.0)
+        total = jnp.zeros((features[-1].shape[0],), jnp.float32)
 
         x_m1 = features[-1]
         total += sp.ops_dense_conv3x3_nyu(x_m1.shape, self.f)

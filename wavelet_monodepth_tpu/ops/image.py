@@ -44,8 +44,9 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int,
         n, h, w, c = x.shape
         gy = jnp.linspace(0.0, h - 1.0, height)
         gx = jnp.linspace(0.0, w - 1.0, width)
-        return _bilinear_gather(x, gy[None, :, None] * jnp.ones((1, 1, width)),
-                                gx[None, None, :] * jnp.ones((1, height, 1)))
+        yy = jnp.broadcast_to(gy[None, :, None], (n, height, width))
+        xx = jnp.broadcast_to(gx[None, None, :], (n, height, width))
+        return _bilinear_gather(x, yy, xx)
     return jax.image.resize(x, (x.shape[0], height, width, x.shape[3]),
                             method="linear")
 

@@ -129,17 +129,23 @@ def masked_upsample_concat(x: Array, skip: Array,
     return y
 
 
-def compute_density(outputs: dict) -> Array:
+def compute_density(outputs: dict, per_image: bool = False) -> Array:
     """Fraction of active wavelet coefficients across scales
-    (`evaluate_depth.py:37-47`). Expects ("wavelet_mask", i) NHWC entries."""
+    (`evaluate_depth.py:37-47`). Expects ("wavelet_mask", i) NHWC entries.
+    per_image=True returns an (N,) vector instead of the batch mean."""
     num = 0.0
     den = 0.0
     for i in range(4):
         k = ("wavelet_mask", i)
         if k in outputs:
             m = outputs[k]
-            num = num + jnp.sum(m)
-            den = den + m.shape[0] * m.shape[1] * m.shape[2]
+            if per_image:
+                num = num + jnp.sum(m, axis=(1, 2, 3))
+            else:
+                num = num + jnp.sum(m)
+                den = den + m.shape[0] * m.shape[1] * m.shape[2]
+            if per_image:
+                den = den + m.shape[1] * m.shape[2]
     return num / den
 
 
@@ -205,4 +211,7 @@ def ops_idwt(yl_shape) -> Array:
 
 
 def mask_count(mask: Array) -> Array:
-    return jnp.sum(mask)
+    """Active sites per image, shape (N,) — makes every op count
+    per-image so batched sparse decode accounts like N reference
+    batch-1 runs (the reference is batch-1 only, `depth_decoder.py:297`)."""
+    return jnp.sum(mask, axis=(1, 2, 3))

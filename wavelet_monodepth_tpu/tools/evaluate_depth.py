@@ -99,12 +99,11 @@ def main(argv=None):
             img_ext=".png" if opts.png else ".jpg")
 
         def images():
-            # dense mode batches for throughput; sparse decoding keeps
-            # the reference's per-image double-forward structure
-            sparse_mode = opts.use_sparse and opts.use_wavelets
+            # dense AND sparse modes batch for throughput (per-image
+            # thresholds/op counts keep batched sparse == sequential);
+            # coefficient saving stays per-image like the reference
             coeff_mode = opts.save_pred_disps and opts.use_wavelets
-            bs = 1 if (sparse_mode or coeff_mode) else \
-                max(1, opts.batch_size)
+            bs = 1 if coeff_mode else max(1, opts.batch_size)
             buf = []
             for i in range(len(ds)):
                 buf.append(ds[i][("color", "0", 0)])

@@ -68,7 +68,7 @@ def main(argv=None):
                             thresh_ratio=float(th))
         report["analytic_sweep"].append({
             "threshold": th,
-            "decoder_gflops": float(out[("total_ops", -1)]) / 1e9,
+            "decoder_gflops": float(np.mean(out[("total_ops", -1)])) / 1e9,
             "density": float(compute_density(out)),
         })
 

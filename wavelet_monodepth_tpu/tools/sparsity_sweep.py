@@ -94,7 +94,7 @@ def main(argv=None):
         rows.append({
             "threshold": th,
             "density": float(compute_density(out)),
-            "gflops": float(out[("total_ops", -1)]) / 1e9,
+            "gflops": float(np.mean(out[("total_ops", -1)])) / 1e9,
             "latency_ms": t * 1e3,
             "dense_latency_ms": dense_t * 1e3,
             "disp_mae_vs_dense": float(np.abs(disp - dense_disp).mean()),
