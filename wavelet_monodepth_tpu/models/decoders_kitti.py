@@ -105,9 +105,10 @@ class KittiWaveletDecoder(nn.Module):
         if want_ll:
             yl = (2.0 ** i) * self.blocks["waveconv_4_ll"](
                 x, in_mask, out_mask)
-        if (in_mask is None and out_mask is None
+        if (use_pallas in (False, "xla", "compact", "sites")
                 and not self.is_initializing()):
-            yh = (2.0 ** (i - 1)) * self._paired_heads(x, i)
+            yh = (2.0 ** (i - 1)) * self._paired_heads(x, i, in_mask,
+                                                       out_mask)
             return yl, yh
         pos = self.blocks[f"waveconv_{i}_pos"](x, in_mask, out_mask,
                                                use_pallas=use_pallas)
@@ -116,12 +117,17 @@ class KittiWaveletDecoder(nn.Module):
         yh = (2.0 ** (i - 1)) * (pos - neg)          # (N, H, W, 3)
         return yl, yh
 
-    def _paired_heads(self, x: Array, i: int) -> Array:
+    def _paired_heads(self, x: Array, i: int,
+                      in_mask: Optional[Array] = None,
+                      out_mask: Optional[Array] = None) -> Array:
         """sigmoid(pos(x)) - sigmoid(neg(x)) with both heads fused into a
         single 1x1 (C->2M) + leaky + block-diagonal 3x3 (2M->6). Reads the
         two heads' params directly (the param tree is unchanged; init
         always takes the per-head path above so the tree is created by the
-        WaveConv modules themselves)."""
+        WaveConv modules themselves). Masks follow masked_waveconv exactly
+        (the shared in_mask re-masks the squeeze, the shared out_mask
+        distributes over the subtraction): 1.7x faster than separate heads
+        on a v5e — the 32->3 convs waste MXU lanes (PERF.md traced table)."""
         from ..ops.convops import conv1x1, conv3x3
         p = self.variables["params"]
         pp = p[f"waveconv_{i}_pos"]
@@ -130,15 +136,22 @@ class KittiWaveletDecoder(nn.Module):
                               pn["squeeze"]["kernel"]], axis=-1)
         b1 = jnp.concatenate([pp["squeeze"]["bias"],
                               pn["squeeze"]["bias"]])
+        if in_mask is not None:
+            x = x * in_mask
         h = conv1x1(x, w1, b1)
         h = jnp.where(h >= 0, h, 0.1 * h)            # LeakyReLU(0.1)
+        if in_mask is not None:
+            h = h * in_mask
         m = pp["conv"]["kernel"].shape[2]
         w3 = jnp.zeros((3, 3, 2 * m, 6), h.dtype)
         w3 = w3.at[:, :, :m, :3].set(pp["conv"]["kernel"])
         w3 = w3.at[:, :, m:, 3:].set(pn["conv"]["kernel"])
         b3 = jnp.concatenate([pp["conv"]["bias"], pn["conv"]["bias"]])
         y = jax.nn.sigmoid(conv3x3(h, w3, b3, "reflect"))
-        return y[..., :3] - y[..., 3:]
+        yh = y[..., :3] - y[..., 3:]
+        if out_mask is not None:
+            yh = yh * out_mask
+        return yh
 
     def _log_coeffs(self, outputs: dict, s: int, yl: Array, yh: Array):
         outputs[("wavelets", s, "LL")] = yl
@@ -149,13 +162,19 @@ class KittiWaveletDecoder(nn.Module):
     def __call__(self, features: Sequence[Array],
                  thresh_ratio: Optional[float] = None,
                  sparse_scales: Sequence[int] = (1, 2, 3),
-                 use_pallas=False) -> dict:
+                 use_pallas=False, compact_cap: float = 0.5,
+                 mask_override: Optional[dict] = None) -> dict:
         # use_pallas: False/"xla" masked-dense, True/"pallas" stripe
-        # kernel, "pallas2d" 2-D tiles, "capacity" XLA compaction
+        # kernel, "pallas2d" 2-D tiles, "capacity" per-conv XLA
+        # compaction, "compact" whole-stage tile compaction
+        # (ops/compact.py — the fast path; compact_cap is its capacity
+        # ratio). mask_override: {scale i: (N, Hl, Wl, 1) raw mask}
+        # replaces the threshold mask at those scales (benchmarking at a
+        # prescribed mask geometry; dilations still run in-graph).
         if thresh_ratio is None:
             return self._dense(features)
         return self._sparse(features, thresh_ratio, tuple(sparse_scales),
-                            use_pallas)
+                            use_pallas, compact_cap, mask_override)
 
     def _dense(self, features: Sequence[Array]) -> dict:
         outputs = {}
@@ -174,8 +193,39 @@ class KittiWaveletDecoder(nn.Module):
             outputs[("disp", i - 1)] = jnp.clip(yl / (2.0 ** (i - 1)), 0, 1)
         return outputs
 
+    def _compact_stage(self, x: Array, skip: Array, mask: Array, i: int,
+                       cap_ratio: float, backend: str = "compact"):
+        """Whole-stage compacted execution: 'compact' = tile granularity
+        (ops/compact.py), 'sites' = pixel granularity (ops/sites.py, the
+        fast path — bit-equal to the oracle). Returns (yh, x1) for scale
+        i, reading this scale's params directly (the param tree is
+        created by the module path, like _paired_heads)."""
+        p = self.variables["params"]
+        c0 = p[f"upconv_{i}_0"]["conv"]
+        c1 = p[f"upconv_{i}_1"]["conv"]
+        wp = p[f"waveconv_{i}_pos"]
+        wn = p[f"waveconv_{i}_neg"]
+        params = (c0["kernel"], c0["bias"], c1["kernel"], c1["bias"],
+                  wp["squeeze"]["kernel"], wp["squeeze"]["bias"],
+                  wp["conv"]["kernel"], wp["conv"]["bias"],
+                  wn["squeeze"]["kernel"], wn["squeeze"]["bias"],
+                  wn["conv"]["kernel"], wn["conv"]["bias"])
+        if backend == "sites":
+            from ..ops.sites import site_wave_stage
+            return site_wave_stage(
+                x, skip, mask, *params, i_scale=i,
+                cap_hi=min(1.0, 2 * cap_ratio),
+                cap_lo=min(1.0, 2.8 * cap_ratio),
+                cap_wav=min(1.0, 1.4 * cap_ratio))
+        from ..ops.compact import compact_wave_stage, default_tile_shape
+        th, tw = default_tile_shape(2 * x.shape[1], 2 * x.shape[2])
+        return compact_wave_stage(x, skip, mask, *params, i_scale=i,
+                                  th=th, tw=tw, cap_ratio=cap_ratio)
+
     def _sparse(self, features: Sequence[Array], thresh_ratio,
-                sparse_scales: tuple, use_pallas: bool = False) -> dict:
+                sparse_scales: tuple, use_pallas: bool = False,
+                compact_cap: float = 0.5,
+                mask_override: Optional[dict] = None) -> dict:
         outputs = {}
         x = features[-1]
         yl = None
@@ -187,6 +237,9 @@ class KittiWaveletDecoder(nn.Module):
             scale_ops = jnp.zeros((x.shape[0],), jnp.float32)
             if i == 4:
                 mask = jnp.ones_like(x[..., :1])
+            elif mask_override is not None and i in mask_override:
+                mask = mask_override[i].astype(x.dtype)
+                scale_ops += sp.ops_threshold(mask)
             else:
                 mask = sp.wavelet_threshold_mask(yl, yh, thresh_ratio)
                 scale_ops += sp.ops_threshold(mask)
@@ -206,6 +259,31 @@ class KittiWaveletDecoder(nn.Module):
                 for key in ("lowres", "upconv0", "upsample", "upconv1"):
                     scale_ops += sp.ops_mask2idxmap(masks[key])
                 ichn0 = x.shape[-1]
+                if (use_pallas in ("compact", "sites")
+                        and not self.is_initializing()):
+                    scale_ops += sp.ops_sparse_conv3x3(
+                        sp.mask_count(masks["upconv0"]), ichn0,
+                        NUM_CH_DEC[i])
+                    scale_ops += sp.ops_sparse_conv3x3(
+                        sp.mask_count(masks["upconv1"]),
+                        NUM_CH_DEC[i] + skip.shape[-1], NUM_CH_DEC[i])
+                    n_in = sp.mask_count(masks["upconv1"])
+                    n_out = sp.mask_count(masks["wavelet"])
+                    for _ in range(2):   # pos + neg heads
+                        scale_ops += sp.ops_sparse_conv1x1(
+                            n_in, NUM_CH_DEC[i], NUM_CH_DEC[i])
+                        scale_ops += sp.ops_sparse_conv3x3(
+                            n_out, NUM_CH_DEC[i], 3)
+                    yh, x = self._compact_stage(x, skip, mask, i,
+                                                compact_cap, use_pallas)
+                    self._log_coeffs(outputs, s, yl, yh)
+                    yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2],
+                                   yh[..., 2:3])
+                    scale_ops += sp.ops_idwt(yl.shape)
+                    outputs[("disp", s)] = jnp.clip(yl / (2.0 ** s), 0, 1)
+                    outputs[("total_ops", s)] = scale_ops
+                    total_ops += scale_ops
+                    continue
                 x = self.blocks[f"upconv_{i}_0"](
                     x, in_mask=masks["lowres"],
                     out_mask=masks["upconv0"], use_pallas=use_pallas)
