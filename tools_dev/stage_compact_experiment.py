@@ -126,15 +126,15 @@ def main():
 
     # tile-compact sweeps; capacity set from measured activity + margin
     sm = sp.stage_masks(mask)
-    for th, tw in ((8, 16), (8, 32), (8, 64), (16, 32), (16, 64)):
+    for th, tw in ((8, 16), (8, 32), (8, 64), (16, 32)):
         act = float((np.asarray(
             tile_scores(sm["upconv1"], th, tw)).reshape(B, -1) > 0
         ).mean())
         cap = min(1.0, act * 1.15)
-        run(f"compact_{th}x{tw}_f32",
+        run(f"compactP_{th}x{tw}_f32",
             lambda x_, s_, m_, prm, th=th, tw=tw, cap=cap:
             compact_wave_stage(x_, s_, m_, *prm, i_scale=1, th=th,
-                               tw=tw, cap_ratio=cap),
+                               tw=tw, cap_ratio=cap, io="pallas"),
             x, skip, mask, params)
         res[f"activity_{th}x{tw}"] = round(act, 3)
 
@@ -144,13 +144,13 @@ def main():
     run("dense_bf16", dense_stage, xb, skb, prmb)
     run("masked_bf16", masked_stage, xb, skb, mask.astype(jnp.bfloat16),
         prmb)
-    for th, tw in ((8, 16), (8, 32), (8, 64)):
+    for th, tw in ((8, 16), (8, 32)):
         act = res[f"activity_{th}x{tw}"]
         cap = min(1.0, act * 1.15)
-        run(f"compact_{th}x{tw}_bf16",
+        run(f"compactP_{th}x{tw}_bf16",
             lambda x_, s_, m_, prm, th=th, tw=tw, cap=cap:
             compact_wave_stage(x_, s_, m_, *prm, i_scale=1, th=th,
-                               tw=tw, cap_ratio=cap),
+                               tw=tw, cap_ratio=cap, io="pallas"),
             xb, skb, mask.astype(jnp.bfloat16), prmb)
 
     print(json.dumps(res))

@@ -83,8 +83,10 @@ def default_tile_shape(hh: int, wh: int) -> tuple[int, int]:
     (8, 128) when the image is large enough, shrunk (to multiples of 8,
     even so the low-res tile is integral) to avoid mostly-padding tiles
     on small scales."""
-    th = 8 if hh >= 32 else 4
-    tw = 128 if wh >= 256 else max(8, min(128, -(-wh // 16) * 8))
+    # th=8 keeps the low-res tile (th/2 = 4) >= 2*halo, the blockio band
+    # invariant (window_h <= 2 * tile rows); undersized scales just pad.
+    th = 8
+    tw = 32 if wh >= 64 else max(16, min(32, -(-wh // 16) * 8))
     return th, tw
 
 
@@ -106,57 +108,14 @@ def stage_overflow(upconv1_mask: Array, th: int, tw: int,
     return jnp.maximum((scores > 0).sum() - capacity, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("i_scale", "th", "tw",
-                                             "cap_ratio"))
-def compact_wave_stage(x: Array, skip: Array, mask: Array,
-                       w0: Array, b0: Array, w1: Array, b1: Array,
-                       wp1: Array, bp1: Array, wp3: Array, bp3: Array,
-                       wn1: Array, bn1: Array, wn3: Array, bn3: Array,
-                       i_scale: int, th: int = 8, tw: int = 128,
-                       cap_ratio: float = 0.5):
-    """One sparse decoder scale on a compacted active-tile batch.
-
-    Args:
-      x: (N, Hl, Wl, Cx) scale entry features (already masked by the
-         PREVIOUS stage's upconv1 mask, as the decoder chains them).
-      skip: (N, 2Hl, 2Wl, Cs) encoder skip.
-      mask: (N, Hl, Wl, 1) raw threshold mask for this scale.
-      w0/b0: upconv0 (3x3, Cx->Cd). w1/b1: upconv1 (3x3, Cd+Cs->Cd).
-      wp*/wn*: pos/neg waveconv heads (1x1 Cd->Cd then 3x3 Cd->3).
-      th, tw: HIGH-res tile shape. cap_ratio: K = ceil(ratio * N * nT).
-    Returns:
-      yh (N, 2Hl, 2Wl, 3) and x1 (N, 2Hl, 2Wl, Cd) — both exactly zero
-      outside their stage masks, matching the masked-dense oracle in the
-      interior (see module docstring for the border contract).
-    """
-    n, h_l, w_l, cx = x.shape
+def _stage_compute(xg, sg, m_u0, m_up, m_u1, m_wv,
+                   w0, b0, w1, b1, wp1, bp1, wp3, bp3,
+                   wn1, bn1, wn3, bn3, i_scale):
+    """The decoder scale on a compacted (K, ...) tile batch — stock XLA
+    convs (measured at full efficiency on these shapes, PERF.md
+    round-2b). Inputs are halo windows: xg (K, hlt+4, wlt+4, Cx),
+    sg (K, th+4, tw+4, Cs), masks at their own halos."""
     cd = w0.shape[-1]
-    hh, wh = 2 * h_l, 2 * w_l
-    hlt, wlt = th // 2, tw // 2
-    nh, nw = -(-hh // th), -(-wh // tw)
-    n_tiles = nh * nw
-    k = min(n * n_tiles, max(1, math.ceil(n * n_tiles * cap_ratio)))
-
-    masks = stage_masks(mask)
-
-    # dense pre-masking (bandwidth-only; reproduces the oracle's input
-    # masking so tile halos see masked values)
-    x = x * masks["lowres"]
-    skip = skip * masks["upsample"]
-
-    # top-K active tiles across the whole batch (global capacity pool)
-    scores = tile_scores(masks["upconv1"], th, tw)
-    _, idx = jax.lax.top_k(scores, k)
-
-    take = lambda t: jnp.take(t, idx, axis=0)
-    xg = take(_pretile(x, hlt, wlt, nh, nw, 2))          # (K, hlt+4, wlt+4, Cx)
-    sg = take(_pretile(skip, th, tw, nh, nw, 2))         # (K, th+4, tw+4, Cs)
-    m_u0 = take(_pretile(masks["upconv0"], hlt, wlt, nh, nw, 1))
-    m_up = take(_pretile(masks["upsample"], th, tw, nh, nw, 2))
-    m_u1 = take(_pretile(masks["upconv1"], th, tw, nh, nw, 1))
-    m_wv = take(_pretile(masks["wavelet"], th, tw, nh, nw, 0))
-
-    # ---- the stage, dense XLA over the compacted tile batch ----------
     x0 = jax.nn.elu(conv2d(xg, w0, b0)) * m_u0           # (K, hlt+2, wlt+2, Cd)
     u = upsample_nearest2x(x0) * m_up                    # (K, th+4, tw+4, Cd)
     cat = jnp.concatenate([u, sg], axis=-1)
@@ -175,7 +134,87 @@ def compact_wave_stage(x: Array, skip: Array, mask: Array,
     b3 = jnp.concatenate([bp3, bn3])
     y = jax.nn.sigmoid(conv2d(hcat, w3, b3))             # (K, th, tw, 6)
     yh_t = (2.0 ** (i_scale - 1)) * (y[..., :3] - y[..., 3:]) * m_wv
+    return yh_t, x1[:, 1:-1, 1:-1, :]
 
-    yh = _scatter(yh_t, idx, n, nh, nw, th, tw, hh, wh)
-    x1d = _scatter(x1[:, 1:-1, 1:-1, :], idx, n, nh, nw, th, tw, hh, wh)
+
+@functools.partial(jax.jit, static_argnames=("i_scale", "th", "tw",
+                                             "cap_ratio", "io"))
+def compact_wave_stage(x: Array, skip: Array, mask: Array,
+                       w0: Array, b0: Array, w1: Array, b1: Array,
+                       wp1: Array, bp1: Array, wp3: Array, bp3: Array,
+                       wn1: Array, bn1: Array, wn3: Array, bn3: Array,
+                       i_scale: int, th: int = 8, tw: int = 32,
+                       cap_ratio: float = 0.5, io: str = "pallas"):
+    """One sparse decoder scale on a compacted active-tile batch.
+
+    Args:
+      x: (N, Hl, Wl, Cx) scale entry features (already masked by the
+         PREVIOUS stage's upconv1 mask, as the decoder chains them).
+      skip: (N, 2Hl, 2Wl, Cs) encoder skip.
+      mask: (N, Hl, Wl, 1) raw threshold mask for this scale.
+      w0/b0: upconv0 (3x3, Cx->Cd). w1/b1: upconv1 (3x3, Cd+Cs->Cd).
+      wp*/wn*: pos/neg waveconv head params (1x1 Cd->Cd then 3x3 Cd->3).
+      th, tw: HIGH-res tile shape. cap_ratio: K = ceil(ratio * N * nT).
+      io: 'pallas' = block-granular gather/scatter kernels
+          (ops/blockio.py — the fast path; XLA's window gathers and
+          tile scatters are 5-100x off DMA bandwidth, PERF.md
+          round-2b); 'xla' = pretile+take / stack-scatter reference.
+    Returns:
+      yh (N, 2Hl, 2Wl, 3) and x1 (N, 2Hl, 2Wl, Cd) — both exactly zero
+      outside their stage masks, matching the masked-dense oracle in the
+      interior (see module docstring for the border contract).
+    """
+    n, h_l, w_l, cx = x.shape
+    hh, wh = 2 * h_l, 2 * w_l
+    hlt, wlt = th // 2, tw // 2
+    nh, nw = -(-hh // th), -(-wh // tw)
+    n_tiles = nh * nw
+    k = min(n * n_tiles, max(1, math.ceil(n * n_tiles * cap_ratio)))
+
+    masks = stage_masks(mask)
+
+    # dense pre-masking (bandwidth-only; reproduces the oracle's input
+    # masking so tile halos see masked values)
+    x = x * masks["lowres"]
+    skip = skip * masks["upsample"]
+
+    # top-K active tiles across the whole batch (global capacity pool)
+    scores = tile_scores(masks["upconv1"], th, tw)
+    _, tid = jax.lax.top_k(scores, k)
+
+    prm = (w0, b0, w1, b1, wp1, bp1, wp3, bp3, wn1, bn1, wn3, bn3)
+    if io == "pallas":
+        from .blockio import band_gather, block_scatter, wtile_stack
+        bb = tid // n_tiles
+        ty = (tid // nw) % nh
+        tx = tid % nw
+        idx = jnp.stack([bb, ty, tx], axis=-1).astype(jnp.int32)
+        # low-res tiles share the same (n, ty, tx) grid at half size
+        xg = band_gather(wtile_stack(x, hlt, wlt, 2), idx, hlt, hlt + 4)
+        sg = band_gather(wtile_stack(skip, th, tw, 2), idx, th, th + 4)
+        m_u0 = band_gather(wtile_stack(masks["upconv0"], hlt, wlt, 1),
+                           idx, hlt, hlt + 2)
+        m_up = band_gather(wtile_stack(masks["upsample"], th, tw, 2),
+                           idx, th, th + 4)
+        m_u1 = band_gather(wtile_stack(masks["upconv1"], th, tw, 1),
+                           idx, th, th + 2)
+        m_wv = band_gather(wtile_stack(masks["wavelet"], th, tw, 0),
+                           idx, th, th)
+        yh_t, x1_t = _stage_compute(xg, sg, m_u0, m_up, m_u1, m_wv,
+                                    *prm, i_scale=i_scale)
+        yh = block_scatter(yh_t, idx, n, nh, nw)[:, :hh, :wh]
+        x1d = block_scatter(x1_t, idx, n, nh, nw)[:, :hh, :wh]
+        return yh, x1d
+
+    take = lambda t: jnp.take(t, tid, axis=0)
+    xg = take(_pretile(x, hlt, wlt, nh, nw, 2))          # (K, hlt+4, wlt+4, Cx)
+    sg = take(_pretile(skip, th, tw, nh, nw, 2))         # (K, th+4, tw+4, Cs)
+    m_u0 = take(_pretile(masks["upconv0"], hlt, wlt, nh, nw, 1))
+    m_up = take(_pretile(masks["upsample"], th, tw, nh, nw, 2))
+    m_u1 = take(_pretile(masks["upconv1"], th, tw, nh, nw, 1))
+    m_wv = take(_pretile(masks["wavelet"], th, tw, nh, nw, 0))
+    yh_t, x1_t = _stage_compute(xg, sg, m_u0, m_up, m_u1, m_wv,
+                                *prm, i_scale=i_scale)
+    yh = _scatter(yh_t, tid, n, nh, nw, th, tw, hh, wh)
+    x1d = _scatter(x1_t, tid, n, nh, nw, th, tw, hh, wh)
     return yh, x1d
