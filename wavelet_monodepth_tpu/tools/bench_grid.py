@@ -65,25 +65,33 @@ def main(argv=None):
             ts[k] = best
         return (ts[args.k1] - ts[args.k0]) / (args.k1 - args.k0)
 
+    from ..utils import maskgen as mg
+
     for name in args.configs:
         cfg = CONFIGS[name]
         rng = jax.random.PRNGKey(0)
+        masks = None
         if cfg["kind"] == "kitti":
             encoder = ResnetEncoder(num_layers=cfg["layers"])
             decoder = KittiWaveletDecoder(
                 num_ch_enc=num_ch_enc(cfg["layers"]))
-            thresh = args.threshold
+            # the trained-model operating point: edge-structured masks
+            # from the true DWT of synthetic scenes (see bench.py)
+            disp = mg.synthetic_depth_scene(args.batch, cfg["h"],
+                                            cfg["w"], seed=0)
+            masks_np, thresh, _ = mg.masks_at_density(disp, 0.10)
+            masks = {i: jnp.asarray(m) for i, m in masks_np.items()}
+            x = jnp.asarray(mg.scene_image(disp, seed=0))
         else:
             encoder = DenseNet161Encoder()
             decoder = NyuDecoderWave(
                 num_ch_enc=(96, 96, 192, 384, 2208))
             thresh = args.nyu_threshold
-        x1 = jax.random.uniform(rng, (1, cfg["h"], cfg["w"], 3),
-                                jnp.float32)
+            x = jax.random.uniform(rng, (args.batch, cfg["h"],
+                                         cfg["w"], 3), jnp.float32)
+        x1 = x[:1]
         ev = encoder.init(rng, x1)
         dv = decoder.init(rng, encoder.apply(ev, x1))
-        x = jax.random.uniform(rng, (args.batch, cfg["h"], cfg["w"], 3),
-                               jnp.float32)
 
         def make_chained(ev_, dv_, img, th):
             @functools.partial(jax.jit, static_argnames=("k",))
@@ -93,6 +101,9 @@ def main(argv=None):
                     feats = encoder.apply(ev_, xi)
                     if th is None:
                         out = decoder.apply(dv_, feats)
+                    elif masks is not None:
+                        out = decoder.apply(dv_, feats, thresh_ratio=th,
+                                            mask_override=masks)
                     else:
                         out = decoder.apply(dv_, feats, thresh_ratio=th)
                     return carry + out[("disp", 0)].sum().astype(
@@ -114,8 +125,13 @@ def main(argv=None):
 
         @jax.jit
         def density_of(ev_, dv_):
-            out = decoder.apply(dv_, encoder.apply(ev_, x),
-                                thresh_ratio=thresh)
+            if masks is not None:
+                out = decoder.apply(dv_, encoder.apply(ev_, x),
+                                    thresh_ratio=thresh,
+                                    mask_override=masks)
+            else:
+                out = decoder.apply(dv_, encoder.apply(ev_, x),
+                                    thresh_ratio=thresh)
             return compute_density(out)
 
         dens = float(density_of(ev, dv))

@@ -109,9 +109,10 @@ def aggregate_density(masks: dict, h: int, w: int) -> float:
     """compute_density's aggregation (`evaluate_depth.py:37-47`) over the
     wavelet masks implied by raw stage masks: wavelet_mask(s=i-1) is the
     x2-nearest-upsampled raw mask (same density), plus the all-ones
-    scale-3 mask the unthresholded 4th scale contributes."""
-    num = (h // 8) * (w // 8)                     # scale-3 ones
-    den = (h // 8) * (w // 8)
+    scale-3 mask the unthresholded 4th scale contributes at the 4th
+    stage's high res (h/16, w/16)."""
+    num = (h // 16) * (w // 16)                   # scale-3 ones
+    den = (h // 16) * (w // 16)
     for i, m in masks.items():
         hw = (h // 2 ** i) * (w // 2 ** i)        # upsampled resolution
         num += float(m.mean()) * hw
