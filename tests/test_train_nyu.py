@@ -88,3 +88,17 @@ def test_nyu_data_parallel_8_devices():
     assert np.isfinite(float(losses["loss"]))
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_nyu_mixed_precision_train_step():
+    setup = _setup()
+    state = setup.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(2, 64, 96, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(2, 32, 48, 1) * 990 + 10, jnp.float32)
+    step = setup.jit_train_step(mixed_precision=True)
+    for _ in range(2):
+        state, losses = step(state, image, depth)
+    assert np.isfinite(float(losses["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32

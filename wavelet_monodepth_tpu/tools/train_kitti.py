@@ -65,7 +65,7 @@ def main(argv=None):
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
 
-    step_fn = setup.jit_train_step()
+    step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
 
     logger = SummaryLogger(log_path)

@@ -36,7 +36,7 @@ def main(argv=None):
         from ..parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(data=opts.data_axis)
         state = mesh_lib.replicate(mesh, state)
-    step_fn = setup.jit_train_step()
+    step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
 
     logger = SummaryLogger(log_path)

@@ -194,11 +194,33 @@ class KittiTrainSetup:
         return outputs, losses, new_stats
 
     # ------------------------------------------------------------------
-    def make_train_step(self):
+    def make_train_step(self, mixed_precision: bool = False):
+        """mixed_precision=True runs the NETWORKS (encoder/decoder/pose)
+        forward+backward in bfloat16 with float32 master params and
+        optimizer state (TPU-native addition; the reference trains
+        f32-only). Only the net inputs (color_aug) are cast: the
+        geometry/warp path stays f32 (bf16's 8-bit mantissa is ~2 px at
+        640-wide sampling grids) via jnp type promotion against the f32
+        K/inv_K and color tensors. The cast sits inside loss_fn, so
+        jax.grad transposes it back: gradients arrive f32 at the master
+        params; BN running stats and logged losses are re-cast to f32."""
+        from ..utils.precision import cast_floats
+
         def train_step(state: TrainState, inputs: Dict, rng: jax.Array):
             def loss_fn(params):
+                if mixed_precision:
+                    params = cast_floats(params, jnp.bfloat16)
+                    stats = cast_floats(state.batch_stats, jnp.bfloat16)
+                    ins = {k: (v.astype(jnp.bfloat16)
+                               if k[0] == "color_aug" else v)
+                           for k, v in inputs.items()}
+                else:
+                    stats, ins = state.batch_stats, inputs
                 outputs, losses, new_stats = self.forward(
-                    params, state.batch_stats, inputs, rng, train=True)
+                    params, stats, ins, rng, train=True)
+                if mixed_precision:
+                    losses = cast_floats(losses, jnp.float32)
+                    new_stats = cast_floats(new_stats, jnp.float32)
                 return losses["loss"], (losses, new_stats)
 
             grads, (losses, new_stats) = jax.grad(
@@ -219,11 +241,12 @@ class KittiTrainSetup:
             return outputs, losses
         return eval_step
 
-    def jit_train_step(self):
+    def jit_train_step(self, mixed_precision: bool = False):
         """Sharding is carried by input placement: put the state with
         `parallel.mesh.replicate` and batches with `shard_batch`, and
         GSPMD partitions the step (gradient psum over 'data')."""
-        return jax.jit(self.make_train_step(), donate_argnums=(0,))
+        return jax.jit(self.make_train_step(mixed_precision),
+                       donate_argnums=(0,))
 
 
 def synthetic_batch(opts: KittiOptions, batch_size: int,

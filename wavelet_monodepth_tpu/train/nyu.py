@@ -102,15 +102,28 @@ class NyuTrainSetup:
         losses["loss"] = total
         return losses
 
-    def make_train_step(self):
+    def make_train_step(self, mixed_precision: bool = False):
+        """mixed_precision runs the nets in bfloat16 with f32 master
+        params/optimizer (see train/kitti.py for the scheme); the L1/DWT
+        loss arithmetic promotes back to f32 against the f32 target."""
+        from ..utils.precision import cast_floats
+
         def step(state: NyuTrainState, image: Array, depth: Array):
             depth_n = (depth_norm(depth) if self.opts.disparity else depth)
 
             def loss_fn(params):
-                outputs, new_stats = self.forward(params,
-                                                  state.batch_stats,
-                                                  image, train=True)
+                if mixed_precision:
+                    params = cast_floats(params, jnp.bfloat16)
+                    stats = cast_floats(state.batch_stats, jnp.bfloat16)
+                    img = image.astype(jnp.bfloat16)
+                else:
+                    stats, img = state.batch_stats, image
+                outputs, new_stats = self.forward(params, stats,
+                                                  img, train=True)
                 losses = self.compute_losses(outputs, depth_n)
+                if mixed_precision:
+                    losses = cast_floats(losses, jnp.float32)
+                    new_stats = cast_floats(new_stats, jnp.float32)
                 return losses["loss"], (losses, new_stats)
 
             grads, (losses, new_stats) = jax.grad(
@@ -123,8 +136,9 @@ class NyuTrainSetup:
                                  step=state.step + 1), losses
         return step
 
-    def jit_train_step(self):
-        return jax.jit(self.make_train_step(), donate_argnums=(0,))
+    def jit_train_step(self, mixed_precision: bool = False):
+        return jax.jit(self.make_train_step(mixed_precision),
+                       donate_argnums=(0,))
 
     def make_eval_step(self):
         def step(state: NyuTrainState, image: Array):

@@ -78,7 +78,7 @@ class KittiOptions:
     post_process: bool = False
     # TPU-NATIVE additions (not in the reference)
     data_axis: int = 1                     # data-parallel mesh size
-    bfloat16: bool = False                 # run encoder/decoder matmuls in bf16
+    bfloat16: bool = False                 # bf16 inference; bf16 mixed-precision training (f32 master params)
 
     def validate_for_training(self):
         """The reference's constructor asserts (`trainer.py:35-61`)."""
