@@ -136,3 +136,37 @@ def test_decoder_capacity_backend_matches_oracle():
             np.asarray(oracle[("disp", s)]),
             np.asarray(capacity[("disp", s)]), atol=1e-4,
             err_msg=f"disp {s}")
+
+
+def test_decoder_capacity_ratio_plumbed_through_compact_cap():
+    """compact_cap must govern the capacity backend's per-conv ratio:
+    at thresh -1 (every tile active) the default ratio 0.5 overflows,
+    but compact_cap=1.0 must be exactly the oracle."""
+    import jax
+    from wavelet_monodepth_tpu.models.decoders_kitti import \
+        KittiWaveletDecoder
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, \
+        num_ch_enc
+
+    H, W = 64, 96
+    enc = ResnetEncoder(num_layers=18)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, H, W, 3),
+                    jnp.float32)
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(ev, x)
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18))
+    dv = dec.init(jax.random.PRNGKey(1), feats)
+    oracle = dec.apply(dv, feats, thresh_ratio=-1.0)
+    full = dec.apply(dv, feats, thresh_ratio=-1.0,
+                     use_pallas="capacity", compact_cap=1.0)
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(oracle[("disp", s)]),
+            np.asarray(full[("disp", s)]), atol=1e-4,
+            err_msg=f"disp {s}")
+    # and the default 0.5 ratio at all-active really does differ
+    # (overflow drops tiles) — guards against the knob being ignored
+    half = dec.apply(dv, feats, thresh_ratio=-1.0,
+                     use_pallas="capacity", compact_cap=0.5)
+    assert float(np.abs(np.asarray(half[("disp", 0)]) -
+                        np.asarray(oracle[("disp", 0)])).max()) > 1e-3

@@ -1,0 +1,69 @@
+"""StableHLO serving-artifact export round-trip.
+
+The artifact must (a) serialize/deserialize, (b) reproduce the direct
+forward bit-for-bit on the same platform, (c) carry the sparse op
+counter through export. Tiny feed size keeps CPU compile fast.
+"""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.tools import export_serving as es
+
+
+def _args(tmp_path, **kw):
+    base = dict(out=str(tmp_path / "art"), model_path=None,
+                torch_model_path=None, num_layers=18, height=64,
+                width=96, batch=1, use_sparse=False, threshold=0.1,
+                bfloat16=False, verify=False)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_export_roundtrip_matches_direct(tmp_path, sparse):
+    args = _args(tmp_path, use_sparse=sparse)
+    exported, enc_vars, dec_vars = es.export_artifact(args)
+
+    with open(args.out + ".stablehlo", "rb") as f:
+        rebuilt = jax.export.deserialize(f.read())
+    with open(args.out + ".json") as f:
+        meta = json.load(f)
+    assert meta["height"] == 64 and meta["dtype"] == "float32"
+    assert meta["sparse_threshold"] == (0.1 if sparse else None)
+
+    forward, _, _ = es.build(args)
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 96, 3),
+                             jnp.float32)
+    direct = forward(enc_vars, dec_vars, img)
+    via_artifact = rebuilt.call(enc_vars, dec_vars, img)
+    # the exported program recompiles standalone, so fusion order may
+    # differ from the in-process jit at the last ulp — tight allclose,
+    # not bit-equality
+    if sparse:
+        np.testing.assert_allclose(np.asarray(direct[0]),
+                                   np.asarray(via_artifact[0]),
+                                   atol=1e-5, rtol=0)
+        ops_direct = np.asarray(direct[1]).reshape(-1)
+        ops_artifact = np.asarray(via_artifact[1]).reshape(-1)
+        np.testing.assert_array_equal(ops_direct, ops_artifact)
+        assert (ops_direct > 0).all()
+    else:
+        np.testing.assert_allclose(np.asarray(direct),
+                                   np.asarray(via_artifact),
+                                   atol=1e-5, rtol=0)
+
+
+def test_export_bf16_and_cli_verify(tmp_path):
+    args = _args(tmp_path, bfloat16=True)
+    es.main(["--out", args.out, "--height", "64", "--width", "96",
+             "--bfloat16", "--verify"])
+    assert os.path.exists(args.out + ".stablehlo")
+    with open(args.out + ".json") as f:
+        assert json.load(f)["dtype"] == "bfloat16"

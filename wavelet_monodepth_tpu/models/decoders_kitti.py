@@ -91,7 +91,8 @@ class KittiWaveletDecoder(nn.Module):
     def _coefficients(self, x: Array, i: int, want_ll: bool,
                       in_mask: Optional[Array] = None,
                       out_mask: Optional[Array] = None,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False,
+                      capacity_ratio: float = 0.5):
         """(LL, HF) heads at scale i: yl = 2^i * sigmoid(ll-head),
         yh = 2^(i-1) * (sigmoid(pos) - sigmoid(neg))
         (`depth_decoder.py:126-136`).
@@ -110,10 +111,12 @@ class KittiWaveletDecoder(nn.Module):
             yh = (2.0 ** (i - 1)) * self._paired_heads(x, i, in_mask,
                                                        out_mask)
             return yl, yh
-        pos = self.blocks[f"waveconv_{i}_pos"](x, in_mask, out_mask,
-                                               use_pallas=use_pallas)
-        neg = self.blocks[f"waveconv_{i}_neg"](x, in_mask, out_mask,
-                                               use_pallas=use_pallas)
+        pos = self.blocks[f"waveconv_{i}_pos"](
+            x, in_mask, out_mask, use_pallas=use_pallas,
+            capacity_ratio=capacity_ratio)
+        neg = self.blocks[f"waveconv_{i}_neg"](
+            x, in_mask, out_mask, use_pallas=use_pallas,
+            capacity_ratio=capacity_ratio)
         yh = (2.0 ** (i - 1)) * (pos - neg)          # (N, H, W, 3)
         return yl, yh
 
@@ -167,8 +170,10 @@ class KittiWaveletDecoder(nn.Module):
         # use_pallas: False/"xla" masked-dense, True/"pallas" stripe
         # kernel, "pallas2d" 2-D tiles, "capacity" per-conv XLA
         # compaction, "compact" whole-stage tile compaction
-        # (ops/compact.py — the fast path; compact_cap is its capacity
-        # ratio). mask_override: {scale i: (N, Hl, Wl, 1) raw mask}
+        # (ops/compact.py). compact_cap is the capacity ratio for BOTH
+        # compacted backends ("compact" per stage, "capacity" per conv);
+        # active tiles beyond capacity are dropped lowest-activity-first.
+        # mask_override: {scale i: (N, Hl, Wl, 1) raw mask}
         # replaces the threshold mask at those scales (benchmarking at a
         # prescribed mask geometry; dilations still run in-graph).
         if thresh_ratio is None:
@@ -286,19 +291,21 @@ class KittiWaveletDecoder(nn.Module):
                     continue
                 x = self.blocks[f"upconv_{i}_0"](
                     x, in_mask=masks["lowres"],
-                    out_mask=masks["upconv0"], use_pallas=use_pallas)
+                    out_mask=masks["upconv0"], use_pallas=use_pallas,
+                    capacity_ratio=compact_cap)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv0"]), ichn0, NUM_CH_DEC[i])
                 x = upsample_concat(x, skip, out_mask=masks["upsample"])
                 ichn1 = x.shape[-1]
                 x = self.blocks[f"upconv_{i}_1"](
-                    x, out_mask=masks["upconv1"], use_pallas=use_pallas)
+                    x, out_mask=masks["upconv1"], use_pallas=use_pallas,
+                    capacity_ratio=compact_cap)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv1"]), ichn1, NUM_CH_DEC[i])
                 _, yh = self._coefficients(
                     x, i, want_ll=False,
                     in_mask=masks["upconv1"], out_mask=masks["wavelet"],
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, capacity_ratio=compact_cap)
                 n_in = sp.mask_count(masks["upconv1"])
                 n_out = sp.mask_count(masks["wavelet"])
                 for _ in range(2):   # pos + neg heads

@@ -56,7 +56,8 @@ class Conv3x3(nn.Module):
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
                  out_mask: Optional[Array] = None,
                  nonlin: Optional[Callable[[Array], Array]] = None,
-                 use_pallas: bool = False) -> Array:
+                 use_pallas: bool = False,
+                 capacity_ratio: float = 0.5) -> Array:
         cin = x.shape[-1]
         w = self.param("kernel", _torch_conv_init, (3, 3, cin, self.features))
         b = (self.param("bias", _torch_bias_init(9 * cin), (self.features,))
@@ -71,7 +72,8 @@ class Conv3x3(nn.Module):
             if backend == "capacity":
                 from ..ops import capacity as cap
                 return cap.conv3x3_capacity_sparse(
-                    x, w, bz, out_mask, self.pad_mode, nonlin)
+                    x, w, bz, out_mask, self.pad_mode, nonlin,
+                    capacity_ratio=capacity_ratio)
             from ..ops import pallas_conv as pc
             pnonlin = {jax.nn.elu: pc.elu,
                        jax.nn.sigmoid: pc.sigmoid}.get(nonlin, nonlin)
@@ -111,10 +113,11 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
                  out_mask: Optional[Array] = None,
-                 use_pallas: bool = False) -> Array:
+                 use_pallas: bool = False,
+                 capacity_ratio: float = 0.5) -> Array:
         return Conv3x3(self.features, self.pad_mode, name="conv")(
             x, in_mask, out_mask, nonlin=jax.nn.elu,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, capacity_ratio=capacity_ratio)
 
 
 class WaveConv(nn.Module):
@@ -128,7 +131,8 @@ class WaveConv(nn.Module):
     def __call__(self, x: Array, in_mask: Optional[Array] = None,
                  out_mask: Optional[Array] = None,
                  final_nonlin: Optional[Callable[[Array], Array]]
-                 = jax.nn.sigmoid, use_pallas: bool = False) -> Array:
+                 = jax.nn.sigmoid, use_pallas: bool = False,
+                 capacity_ratio: float = 0.5) -> Array:
         if in_mask is not None:
             x = x * in_mask
         h = Conv1x1(self.mid_features, name="squeeze")(x)
@@ -138,7 +142,7 @@ class WaveConv(nn.Module):
         if use_pallas and out_mask is not None:
             return Conv3x3(self.out_features, "reflect", name="conv")(
                 h, None, out_mask, nonlin=final_nonlin,
-                use_pallas=True)
+                use_pallas=use_pallas, capacity_ratio=capacity_ratio)
         y = Conv3x3(self.out_features, "reflect", name="conv")(h)
         if final_nonlin is not None:
             y = final_nonlin(y)

@@ -40,7 +40,9 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_model(args):
+def load_variables(args):
+    """Load (enc_vars, dec_vars, feed_h, feed_w) from either checkpoint
+    format (ours or reference .pth). Shared by infer and export_serving."""
     import jax
     import jax.numpy as jnp
     from ..models.decoders_kitti import KittiWaveletDecoder
@@ -81,6 +83,15 @@ def load_model(args):
                         raw["batch_stats"]["encoder"])}
         dec_vars = {"params": flax.serialization.from_state_dict(
                         dec_vars["params"], params["depth"])}
+
+    return encoder, decoder, enc_vars, dec_vars, feed_h, feed_w
+
+
+def load_model(args):
+    import jax.numpy as jnp
+
+    encoder, decoder, enc_vars, dec_vars, feed_h, feed_w = \
+        load_variables(args)
 
     if getattr(args, "bfloat16", False):
         from ..utils.precision import cast_floats
