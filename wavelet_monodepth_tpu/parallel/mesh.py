@@ -61,3 +61,34 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, r), tree)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the image-height axis (NHWC axis 1) over 'spatial'.
+
+    Spatial parallelism for large-image / small-batch inference — the
+    workload shape where data parallelism has nothing to split. Each
+    chip holds a horizontal band of the image; XLA's GSPMD partitioner
+    inserts the conv halo exchanges (collective-permute of the 1-2
+    boundary rows per conv) and the cross-band collectives for the
+    sparse decoder's global threshold max/min over ICI. Bit-identical
+    to single-device execution (tests/test_spatial.py); uneven bands at
+    deep strides are padded by GSPMD automatically.
+    """
+    return NamedSharding(mesh, P(None, "spatial"))
+
+
+def shard_spatial(mesh: Mesh, x):
+    """Device_put an NHWC image (or tree of them) height-sharded."""
+    s = spatial_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), x)
+
+
+def jit_spatial_forward(mesh: Mesh, forward, n_param_args: int = 2):
+    """jit `forward(*params, image)` with the image height-sharded over
+    'spatial' and params/outputs replicated. `n_param_args` leading
+    arguments are parameter pytrees."""
+    rep = replicated(mesh)
+    sp = spatial_sharding(mesh)
+    return jax.jit(forward, in_shardings=(rep,) * n_param_args + (sp,),
+                   out_shardings=rep)
