@@ -1,0 +1,111 @@
+"""Full-loop CLI integration on a fabricated mini-KITTI tree: train ->
+checkpoint -> eigen evaluation (dense + sparse) -> single-image infer,
+all through the real CLI mains with the real on-disk formats (split
+files shadowing the vendored ones via <data_path>/splits, gt_depths.npz,
+msgpack checkpoints + meta.json). This is the wiring the unit tests
+can't see: readlines -> dataset -> epoch loop -> save_checkpoint ->
+_load_forward -> predict_disps -> evaluate_disps -> format_result_table.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+DRIVE = "2011_09_26/2011_09_26_drive_0001_sync"
+H_SRC, W_SRC = 96, 320
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_e2e")
+    rng = np.random.RandomState(0)
+    for side in (2, 3):
+        d = root / DRIVE / f"image_0{side}" / "data"
+        d.mkdir(parents=True)
+        for f in range(4):
+            arr = rng.randint(0, 255, (H_SRC, W_SRC, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{f:010d}.jpg")
+
+    # split files shadow the vendored ones (resolution order prefers
+    # <data_path>/splits)
+    tr = root / "splits" / "eigen_zhou"
+    tr.mkdir(parents=True)
+    (tr / "train_files.txt").write_text(
+        "".join(f"{DRIVE} {f} l\n" for f in range(4)))
+    (tr / "val_files.txt").write_text(
+        f"{DRIVE} 1 l\n{DRIVE} 2 r\n")
+    ev = root / "splits" / "eigen"
+    ev.mkdir(parents=True)
+    (ev / "test_files.txt").write_text(
+        f"{DRIVE} 1 l\n{DRIVE} 2 l\n")
+    gt = np.empty(2, object)
+    for i in range(2):
+        gt[i] = (rng.rand(H_SRC, W_SRC).astype(np.float64) * 60 + 2)
+    np.savez_compressed(ev / "gt_depths.npz", data=gt)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(mini_kitti, tmp_path_factory):
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    log_dir = str(tmp_path_factory.mktemp("logs"))
+    train_main(["--data_path", mini_kitti, "--log_dir", log_dir,
+                "--model_name", "mini", "--split", "eigen_zhou",
+                "--height", "64", "--width", "96",
+                "--batch_size", "2", "--num_epochs", "1",
+                "--use_stereo", "--frame_ids", "0", "--use_wavelets",
+                "--log_frequency", "1", "--save_frequency", "1",
+                "--num_layers", "18"])
+    folder = os.path.join(log_dir, "mini", "models", "weights_0")
+    assert os.path.exists(os.path.join(folder, "state.msgpack"))
+    assert os.path.exists(os.path.join(folder, "meta.json"))
+    # opt.json sits next to the weights folders (`trainer.py:722-731`)
+    assert os.path.exists(os.path.join(log_dir, "mini", "models",
+                                       "opt.json"))
+    return folder
+
+
+def test_train_then_evaluate_dense(mini_kitti, trained_ckpt, capsys):
+    from wavelet_monodepth_tpu.tools.evaluate_depth import main as ev_main
+    ev_main(["--data_path", mini_kitti, "--eval_split", "eigen",
+             "--eval_stereo", "--use_wavelets",
+             "--height", "64", "--width", "96", "--batch_size", "2",
+             "--load_weights_folder", trained_ckpt,
+             "--num_layers", "18"])
+    out = capsys.readouterr().out
+    assert "abs_rel" in out and "Done!" in out
+    # the 7 metrics in the table row are finite numbers
+    row = [ln for ln in out.splitlines() if "&" in ln and "abs_rel"
+           not in ln][-1]
+    vals = [float(v) for v in row.replace("\\\\", "").split("&")
+            if v.strip()]
+    assert len(vals) == 7 and np.isfinite(vals).all()
+
+
+def test_train_then_evaluate_sparse(mini_kitti, trained_ckpt, capsys):
+    from wavelet_monodepth_tpu.tools.evaluate_depth import main as ev_main
+    ev_main(["--data_path", mini_kitti, "--eval_split", "eigen",
+             "--eval_stereo", "--use_wavelets", "--use_sparse",
+             "--threshold", "0.1",
+             "--height", "64", "--width", "96", "--batch_size", "2",
+             "--load_weights_folder", trained_ckpt,
+             "--num_layers", "18"])
+    out = capsys.readouterr().out
+    assert "total_ops" in out and "density" in out
+    assert "abs_rel" in out and "Done!" in out
+
+
+def test_infer_from_trained_checkpoint(mini_kitti, trained_ckpt):
+    from wavelet_monodepth_tpu.tools.infer import main as infer_main
+    img = os.path.join(mini_kitti, DRIVE, "image_02", "data",
+                       "0000000001.jpg")
+    infer_main(["--image_path", img, "--model_path", trained_ckpt,
+                "--ext", "jpg"])
+    base = img[:-4]
+    disp = np.load(base + "_disp.npy")
+    assert disp.shape == (1, 1, 64, 96) and np.isfinite(disp).all()
+    assert os.path.exists(base + "_disp.jpeg")
+    for s in range(4):
+        assert os.path.exists(f"{base}_scale_{s}_wavelets.npy")

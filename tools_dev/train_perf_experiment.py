@@ -12,7 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-K1, K2 = 1, 5
+# K2-K1 must be large enough that K2-K1 step-bodies (~80-200 ms each)
+# dwarf the per-fetch relay-sync noise (~0.2-0.5 s) — K=5 measured a
+# NEGATIVE slope once. 18 extra steps ~ 1.5-4 s of device time.
+K1, K2 = 2, 20
 
 
 def main():
@@ -37,22 +40,27 @@ def main():
             def body(i, st):
                 new_st, _ = step(st, batch, jax.random.PRNGKey(0))
                 return new_st
-            return jax.lax.fori_loop(0, k, body, state).step
+            out = jax.lax.fori_loop(0, k, body, state)
+            # the fetched value must depend on the PARAMS, not just the
+            # step counter — returning .step alone lets XLA dead-carry
+            # eliminate the entire loop body (measured: 0.03 ms/step)
+            leaf = jax.tree_util.tree_leaves(out.params)[0]
+            return leaf.astype(jnp.float32).sum()
 
         def t(k):
             ts = []
             for _ in range(2):
                 state = setup.init_state(jax.random.PRNGKey(0))
-                int(chained(state, k))          # warm (compiled once)
+                float(chained(state, k))        # warm (compiled once)
                 state = setup.init_state(jax.random.PRNGKey(0))
                 t0 = time.perf_counter()
-                int(chained(state, k))
+                float(chained(state, k))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
         try:
             state = setup.init_state(jax.random.PRNGKey(0))
-            int(chained(state, K1))             # compile
+            float(chained(state, K1))           # compile
             per_step = (t(K2) - t(K1)) / (K2 - K1)
             res[name] = {"ms_per_step": round(per_step * 1e3, 2),
                          "imgs_per_sec": round(B / per_step, 1)}
