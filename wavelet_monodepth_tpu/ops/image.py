@@ -80,28 +80,35 @@ def avg_pool3_valid(x: jnp.ndarray) -> jnp.ndarray:
 def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
                      x: jnp.ndarray) -> jnp.ndarray:
     """Gather img (N,H,W,C) at float pixel coords y/x (N,Ho,Wo) with border
-    clamping (grid_sample padding_mode='border')."""
+    clamping (grid_sample padding_mode='border').
+
+    ONE gather, not four: the four bilinear corners are pre-stacked into
+    channels (img, shift-left, shift-up, shift-up-left with edge clamp,
+    so (x0, x0+1 clamped) == (x0 of img, x0 of the shifted copy)), and a
+    single take_along_axis fetches 4C-wide rows. Per-pixel gathers are
+    descriptor-rate-bound on TPU (device-traced: the 4-gather form was
+    82% of the whole KITTI train step; see PERF.md "warp gathers"), so
+    4x fewer descriptors at 4x the row width is a direct win. The
+    shifted copies are three cheap elementwise passes."""
     n, h, w, c = img.shape
     y = jnp.clip(y, 0.0, h - 1.0)
     x = jnp.clip(x, 0.0, w - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
     x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
     wy = (y - y0.astype(img.dtype))[..., None]
     wx = (x - x0.astype(img.dtype))[..., None]
 
-    def gat(iy, ix):
-        # (N, Ho, Wo, C) gather via flat indexing per batch element.
-        flat = img.reshape(n, h * w, c)
-        idx = iy * w + ix
-        return jnp.take_along_axis(flat, idx.reshape(n, -1, 1), axis=1
-                                   ).reshape(iy.shape + (c,))
+    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    cat = jnp.concatenate([img, right, down, downright], axis=-1)
 
-    v00 = gat(y0, x0)
-    v01 = gat(y0, x1)
-    v10 = gat(y1, x0)
-    v11 = gat(y1, x1)
+    flat = cat.reshape(n, h * w, 4 * c)
+    idx = (y0 * w + x0).reshape(n, -1, 1)
+    v = jnp.take_along_axis(flat, idx, axis=1).reshape(
+        y0.shape + (4, c))
+    v00, v01, v10, v11 = (v[..., 0, :], v[..., 1, :],
+                          v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
