@@ -103,10 +103,12 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
     cat = jnp.concatenate([img, right, down, downright], axis=-1)
 
-    flat = cat.reshape(n, h * w, 4 * c)
-    idx = (y0 * w + x0).reshape(n, -1, 1)
-    v = jnp.take_along_axis(flat, idx, axis=1).reshape(
-        y0.shape + (4, c))
+    # flat axis-0 take beats batched take_along_axis by ~1.3x at this
+    # shape (tools_dev/warp_gather_experiment.py)
+    flat = cat.reshape(n * h * w, 4 * c)
+    gidx = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
+            + y0 * w + x0).reshape(-1)
+    v = jnp.take(flat, gidx, axis=0).reshape(y0.shape + (4, c))
     v00, v01, v10, v11 = (v[..., 0, :], v[..., 1, :],
                           v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
