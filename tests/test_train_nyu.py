@@ -102,3 +102,26 @@ def test_nyu_mixed_precision_train_step():
     assert np.isfinite(float(losses["loss"]))
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_nyu_densenet_mixed_precision_runs_in_bf16():
+    """DenseNet's f32 ImageNet mean/std constants silently promoted the
+    whole encoder to f32 under mixed precision (flax Conv promotes
+    params up), then crashed at the decoder's explicit lax conv.
+    Regression: the densenet bf16-mp step must run, and its loss must
+    track the f32 step closely."""
+    opts = NyuOptions(encoder_type="densenet", use_wavelets=True)
+    setup = NyuTrainSetup(opts)
+    setup.input_hw = (64, 96)
+    setup.depth_hw = (32, 48)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(1, 32, 48, 1) * 990 + 10, jnp.float32)
+    _, l_mp = setup.jit_train_step(mixed_precision=True)(
+        setup.init_state(jax.random.PRNGKey(0)), image, depth)
+    _, l_f32 = setup.jit_train_step(mixed_precision=False)(
+        state, image, depth)
+    a, b = float(l_mp["loss"]), float(l_f32["loss"])
+    assert np.isfinite(a)
+    assert abs(a - b) / abs(b) < 0.01

@@ -62,7 +62,11 @@ class DenseNet161Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> list[Array]:
         if self.normalize_input:
-            x = (x - _MEAN) / _STD
+            # cast the f32 constants to the activation dtype: promoting
+            # x to f32 here silently ran the whole encoder in f32 under
+            # bf16 mixed precision (flax Conv promotes params up), then
+            # crashed at the first explicit lax conv in the decoder
+            x = (x - _MEAN.astype(x.dtype)) / _STD.astype(x.dtype)
         feats = []
         x = nn.Conv(self.init_features, (7, 7), (2, 2), padding=3,
                     use_bias=False, name="conv0")(x)
