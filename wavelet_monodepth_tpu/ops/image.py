@@ -33,6 +33,21 @@ def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def _interp_matrix_ac(out_n: int, in_n: int, dtype) -> jnp.ndarray:
+    """(out_n, in_n) corner-aligned 1-D linear interpolation matrix
+    (static; 2 nonzeros per row)."""
+    import numpy as np
+    pos = (np.linspace(0.0, in_n - 1.0, out_n) if out_n > 1
+           else np.zeros((1,)))
+    i0 = np.minimum(np.floor(pos).astype(np.int64), in_n - 1)
+    i1 = np.minimum(i0 + 1, in_n - 1)
+    f = pos - i0
+    m = np.zeros((out_n, in_n), np.float64)
+    np.add.at(m, (np.arange(out_n), i0), 1.0 - f)
+    np.add.at(m, (np.arange(out_n), i1), f)
+    return jnp.asarray(m, dtype)
+
+
 def resize_bilinear(x: jnp.ndarray, height: int, width: int,
                     align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize matching torch F.interpolate(mode='bilinear').
@@ -41,12 +56,15 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int,
     convention; align_corners=True samples corner-aligned grids.
     """
     if align_corners:
+        # the grid is static and separable -> two small matmuls with
+        # constant 2-sparse interpolation matrices (MXU work) instead of
+        # a per-pixel gather (descriptor-rate-bound on TPU, see
+        # _bilinear_gather). Exactly bilinear: separable kernels.
         n, h, w, c = x.shape
-        gy = jnp.linspace(0.0, h - 1.0, height)
-        gx = jnp.linspace(0.0, w - 1.0, width)
-        yy = jnp.broadcast_to(gy[None, :, None], (n, height, width))
-        xx = jnp.broadcast_to(gx[None, None, :], (n, height, width))
-        return _bilinear_gather(x, yy, xx)
+        my = _interp_matrix_ac(height, h, x.dtype)
+        mx = _interp_matrix_ac(width, w, x.dtype)
+        t = jnp.einsum("oh,nhwc->nowc", my, x)
+        return jnp.einsum("pw,nowc->nopc", mx, t)
     return jax.image.resize(x, (x.shape[0], height, width, x.shape[3]),
                             method="linear")
 
