@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-K1, K2 = 2, 10
+K1, K2 = 2, 18
 
 
 def main():
@@ -44,7 +44,7 @@ def main():
 
         def t(k):
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 state = setup.init_state(jax.random.PRNGKey(0))
                 float(chained(state, k))
                 state = setup.init_state(jax.random.PRNGKey(0))
