@@ -73,6 +73,10 @@ def attribute(trace_path: str, hlo_text: str, iters: int = 8,
         if name.startswith("jit_"):
             total += d
             continue
+        if name.isdigit():
+            # per-iteration module rows (each is the whole program) —
+            # counting them would double the per-op attribution
+            continue
         op = meta.get(name)
         if op is None:
             op = "UNATTRIBUTED:" + name.split(".")[0]
