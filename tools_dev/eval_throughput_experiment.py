@@ -99,8 +99,11 @@ def nyu(res):
 
 def main():
     res = {}
-    kitti(res)
-    nyu(res)
+    if '--nyu-only' in sys.argv:
+        nyu(res)
+    else:
+        kitti(res)
+        nyu(res)
     print(json.dumps(res))
 
 

@@ -218,7 +218,9 @@ def predict_depth_batch(forward: Callable, rgb_uint8: np.ndarray,
     from ..ops.image import pad2d, resize_bilinear
 
     x = rgb_uint8[:, border_crop:-border_crop, border_crop:-border_crop, :]
-    x = jnp.asarray(x, jnp.float32) / 255.0
+    # ship uint8 and cast on device: converting on host quadruples the
+    # host->device bytes (exact same values either way)
+    x = jnp.asarray(x).astype(jnp.float32) / 255.0
     tgt = (224, 224) if use_224 else (480, 640)
     x = resize_bilinear(x, *tgt, align_corners=True)
 
