@@ -67,3 +67,22 @@ def test_export_bf16_and_cli_verify(tmp_path):
     assert os.path.exists(args.out + ".stablehlo")
     with open(args.out + ".json") as f:
         assert json.load(f)["dtype"] == "bfloat16"
+
+
+def test_export_nyu_family(tmp_path):
+    args = _args(tmp_path, use_sparse=True)
+    ns = vars(args)
+    ns.update(family="nyu", encoder_type="mobilenet_light")
+    args = argparse.Namespace(**ns)
+    exported, enc_vars, dec_vars = es.export_artifact(args)
+    with open(args.out + ".stablehlo", "rb") as f:
+        rebuilt = jax.export.deserialize(f.read())
+    with open(args.out + ".json") as f:
+        assert json.load(f)["model"] == "nyu_mobilenet_light_wavelet"
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 96, 3),
+                             jnp.float32)
+    forward, _, _ = es.build(args)
+    direct = forward(enc_vars, dec_vars, img)
+    via = rebuilt.call(enc_vars, dec_vars, img)
+    np.testing.assert_allclose(np.asarray(direct[0]), np.asarray(via[0]),
+                               atol=1e-5, rtol=0)

@@ -38,7 +38,13 @@ def parse_args(argv=None):
                    help="folder with state.msgpack + meta.json "
                         "(default: random init, for artifact testing)")
     p.add_argument("--torch_model_path", type=str, default=None)
-    p.add_argument("--num_layers", type=int, choices=[18, 50], default=18)
+    p.add_argument("--family", choices=["kitti", "nyu"], default="kitti",
+                   help="kitti = ResNet + wavelet decoder; nyu = "
+                        "DenseNet161/etc + NYU wavelet decoder")
+    p.add_argument("--encoder_type", type=str, default="densenet",
+                   help="nyu family encoder (densenet/resnet/"
+                        "mobilenet/mobilenet_light)")
+    p.add_argument("--num_layers", type=int, default=18)
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
@@ -57,13 +63,24 @@ def build(args):
     disp at scale 0, plus total op count when sparse."""
     import jax
     import jax.numpy as jnp
-    from ..models.decoders_kitti import KittiWaveletDecoder
-    from ..models.resnet import ResnetEncoder, num_ch_enc
 
-    encoder = ResnetEncoder(num_layers=args.num_layers)
-    decoder = KittiWaveletDecoder(num_ch_enc=num_ch_enc(args.num_layers))
+    if getattr(args, "family", "kitti") == "nyu":
+        from ..models.factory import make_nyu_decoder, make_nyu_encoder
+        from ..utils.config import NyuOptions
+        opts = NyuOptions(encoder_type=args.encoder_type,
+                          num_layers=args.num_layers, use_wavelets=True,
+                          use_sparse=args.use_sparse)
+        encoder, nch = make_nyu_encoder(opts)
+        decoder = make_nyu_decoder(nch, opts)
+    else:
+        from ..models.decoders_kitti import KittiWaveletDecoder
+        from ..models.resnet import ResnetEncoder, num_ch_enc
+        encoder = ResnetEncoder(num_layers=args.num_layers)
+        decoder = KittiWaveletDecoder(
+            num_ch_enc=num_ch_enc(args.num_layers))
 
-    if args.model_path or args.torch_model_path:
+    if ((args.model_path or args.torch_model_path)
+            and getattr(args, "family", "kitti") == "kitti"):
         from .infer import load_variables
         ns = argparse.Namespace(
             model_path=args.model_path,
@@ -80,6 +97,19 @@ def build(args):
         enc_vars = encoder.init(rng, x[:1])
         feats = encoder.apply(enc_vars, x[:1])
         dec_vars = decoder.init(rng, feats)
+        if args.model_path:      # nyu family checkpoint (train_nyu's)
+            import flax.serialization
+            with open(os.path.join(args.model_path, "state.msgpack"),
+                      "rb") as f:
+                raw = flax.serialization.msgpack_restore(f.read())
+            enc_vars = {
+                "params": flax.serialization.from_state_dict(
+                    enc_vars["params"], raw["params"]["encoder"]),
+                "batch_stats": flax.serialization.from_state_dict(
+                    enc_vars["batch_stats"],
+                    raw["batch_stats"]["encoder"])}
+            dec_vars = {"params": flax.serialization.from_state_dict(
+                dec_vars["params"], raw["params"]["decoder"])}
 
     if args.bfloat16:
         from ..utils.precision import cast_floats
@@ -118,8 +148,10 @@ def export_artifact(args):
         *var_specs, img_spec)
     data = exported.serialize()
 
+    fam = getattr(args, "family", "kitti")
     meta = {
-        "model": f"kitti_r{args.num_layers}_wavelet",
+        "model": (f"kitti_r{args.num_layers}_wavelet" if fam == "kitti"
+                  else f"nyu_{args.encoder_type}_wavelet"),
         "batch": args.batch, "height": args.height, "width": args.width,
         "dtype": "bfloat16" if args.bfloat16 else "float32",
         "sparse_threshold": args.threshold if args.use_sparse else None,
