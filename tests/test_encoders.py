@@ -36,6 +36,27 @@ def test_resnet_multi_image_input():
     assert feats[-1].shape == (1, H // 32, W // 32, 512)
 
 
+def test_resnet_stem_normalize_fold_exact_on_borders():
+    """The folded inference stem must match normalize-then-conv everywhere.
+
+    The fold's border correction is position-dependent (the reference
+    zero-pads the *normalized* input), so compare against an unfolded
+    model applied to a pre-normalized input — full map, borders included.
+    """
+    enc_fold = ResnetEncoder(num_layers=18, normalize_input=True)
+    enc_plain = ResnetEncoder(num_layers=18, normalize_input=False)
+    x = _input(seed=3)
+    v = enc_fold.init(jax.random.PRNGKey(7), x)
+    # Nontrivial running stats so the BN affine isn't the identity.
+    bs = jax.tree.map(lambda a: a + 0.25, v["batch_stats"])
+    v = {"params": v["params"], "batch_stats": bs}
+    folded = enc_fold.apply(v, x)
+    ref = enc_plain.apply(v, (x - 0.45) / 0.225)
+    for f_got, f_ref in zip(folded, ref):
+        np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_resnet_batchnorm_train_mode():
     enc = ResnetEncoder(num_layers=18)
     x = _input()

@@ -101,9 +101,14 @@ class ResnetEncoder(nn.Module):
             # Fold (x - 0.45) / 0.225 into the stem conv + BN running
             # stats: the standalone normalize is a full-image elementwise
             # pass over a 3-channel (=125 wasted lanes) tensor, ~0.2 ms
-            # at batch 16 on a v5e. conv((x-m)/s) = conv(x)/s - (m/s)*K
-            # with K_c = sum(W[..., c]); absorbed into the BN affine.
-            # Exact at inference; params/tree untouched (importer-safe).
+            # at batch 16 on a v5e. conv((x-m)/s) = conv(x)/s - (m/s)*K(p)
+            # where K(p)_c = sum of W[..., c] taps INSIDE the image at
+            # output position p: the reference zero-pads the *normalized*
+            # input, so border positions must only subtract the in-image
+            # part of the kernel sum. K(p) = conv(ones, W) — a constant
+            # input, so XLA constant-folds it at compile time. Absorbed
+            # into the BN affine; exact at inference everywhere (borders
+            # included); params/tree untouched (importer-safe).
             p = self.variables["params"]["stem"]
             bs = self.variables["batch_stats"]["stem"]["bn"]
             w = p["conv"]["kernel"]                       # (7, 7, 3, 64)
@@ -113,9 +118,13 @@ class ResnetEncoder(nn.Module):
                 x, w, (2, 2), [(3, 3), (3, 3)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=x.dtype)
-            k = w.sum(axis=(0, 1, 2))
+            kin = jax.lax.conv_general_dilated(
+                jnp.ones((1,) + x.shape[1:], w.dtype), w, (2, 2),
+                [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)           # (1, H', W', 64)
             a = gamma / (0.225 * jnp.sqrt(var + 1e-5))
-            x = a * z + (beta - a * (0.45 * k + 0.225 * mean))
+            x = a * z + (beta - a * 0.225 * mean) - a * 0.45 * kin
         else:
             if self.normalize_input:
                 x = (x - 0.45) / 0.225
