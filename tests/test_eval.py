@@ -96,6 +96,29 @@ def test_nyu_predict_depth_pipeline():
     np.testing.assert_allclose(pred, 2.5, atol=1e-5)
 
 
+def test_nyu_224_gt_alignment_border_crop():
+    """use_224 GT must be border-cropped 16px BEFORE the 224 resize
+    (`NYUv2/utils.py:289-291`) so it aligns with predictions made from
+    border-cropped RGB. An oracle forward that returns exactly the
+    cropped-then-resized depth must score ~zero error."""
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.ops.image import resize_bilinear
+
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    depth = 1.0 + 4.0 * xx / 640 + 2.0 * yy / 480      # in (0.4, 10)
+    aligned = np.asarray(resize_bilinear(
+        depth[None, 16:-16, 16:-16, None], 224, 224,
+        align_corners=True))                            # (1,224,224,1)
+
+    def forward(x, thresh):
+        assert x.shape == (1, 224, 224, 3)
+        return {("disp", 0): jnp.asarray(aligned) * 100.0}
+
+    rgb = np.zeros((1, 480, 640, 3), np.uint8)
+    res = nyu_eval.evaluate(forward, rgb, depth[None], use_224=True)
+    assert res["abs_rel"] < 1e-5 and res["rmse"] < 1e-4
+
+
 # --- exact-Canny fixtures (skimage semantics: interpolated NMS, 8-conn
 # hysteresis, border erosion; see nyu_eval module docstring) ---------------
 

@@ -276,13 +276,15 @@ def evaluate(forward: Callable, rgbs: np.ndarray, depths: np.ndarray,
             "edge metrics need 480x640 predictions; the reference's "
             "224 path never ran them (shape-incoherent there too)")
     if use_224:
-        # 224 models score against GT resized to 224x224 (bilinear,
-        # align_corners) with NO Eigen crop (`utils.py:288-291`,
-        # depth interpolated before the add_results loop)
+        # 224 models score against GT border-cropped 16 px THEN resized
+        # to 224x224 (bilinear, align_corners) with NO Eigen crop
+        # (`utils.py:288-291`: depth[:, 16:-16, 16:-16] before
+        # F.interpolate) — predictions come from border-cropped RGB, so
+        # GT must be cropped the same way to stay spatially aligned.
         from ..ops.image import resize_bilinear
         depths = np.asarray(resize_bilinear(
-            np.asarray(depths, np.float32)[..., None], 224, 224,
-            align_corners=True))[..., 0]
+            np.asarray(depths, np.float32)[:, 16:-16, 16:-16, None],
+            224, 224, align_corners=True))[..., 0]
     bs = 1 if save_wavelets_dir else max(1, batch_size)
     for b0 in range(0, rgbs.shape[0], bs):
         batch = rgbs[b0:b0 + bs]
