@@ -114,11 +114,14 @@ class NyuTrainSetup:
             def loss_fn(params):
                 if mixed_precision:
                     params = cast_floats(params, jnp.bfloat16)
-                    stats = cast_floats(state.batch_stats, jnp.bfloat16)
+                    # batch_stats stay f32 (see train/kitti.py: flax
+                    # computes batch stats in f32; train-mode BN never
+                    # reads running stats, so the momentum update is
+                    # exact in f32).
                     img = image.astype(jnp.bfloat16)
                 else:
-                    stats, img = state.batch_stats, image
-                outputs, new_stats = self.forward(params, stats,
+                    img = image
+                outputs, new_stats = self.forward(params, state.batch_stats,
                                                   img, train=True)
                 losses = self.compute_losses(outputs, depth_n)
                 if mixed_precision:
