@@ -53,6 +53,27 @@ def test_sites_dense_threshold_golden(model):
                                atol=5e-6, rtol=0)
 
 
+def test_decoder_surfaces_overflow_counts(model):
+    """Compacted backends report dropped capacity in ("overflow", s):
+    zero at full capacity (exact run), positive when the cap is starved
+    — silent divergence from the oracle is observable (ADVICE r2)."""
+    dec, dv, feats = model
+    full = dec.apply(dv, feats, thresh_ratio=0.05, use_pallas="sites",
+                     compact_cap=1.0)
+    for s in (0, 1, 2):
+        assert int(full[("overflow", s)]) == 0
+    starved = dec.apply(dv, feats, thresh_ratio=-1.0, use_pallas="sites",
+                        compact_cap=0.01)
+    assert sum(int(starved[("overflow", s)]) for s in (0, 1, 2)) > 0
+    cap_full = dec.apply(dv, feats, thresh_ratio=0.05,
+                         use_pallas="capacity", compact_cap=1.0)
+    for s in (0, 1, 2):
+        assert int(cap_full[("overflow", s)]) == 0
+    cmp_starved = dec.apply(dv, feats, thresh_ratio=-1.0,
+                            use_pallas="compact", compact_cap=0.05)
+    assert sum(int(cmp_starved[("overflow", s)]) for s in (0, 1, 2)) > 0
+
+
 def test_site_list_and_overflow():
     rng = jax.random.PRNGKey(1)
     m = (jax.random.uniform(rng, (2, 8, 16, 1)) > 0.7).astype(jnp.float32)

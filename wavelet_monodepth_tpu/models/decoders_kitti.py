@@ -31,11 +31,23 @@ import jax.numpy as jnp
 
 from ..ops import sparse as sp
 from ..ops.wavelets import haar_idwt
+from ..parallel.spatial_hints import hint as _spatial_hint
 from .layers import Conv3x3, ConvBlock, WaveConv, upsample_concat
 
 Array = jnp.ndarray
 
 NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+def _idwt(yl, yh):
+    """haar_idwt with spatial-mesh sharding hints (no-ops off-mesh):
+    coefficients are re-pinned (replicated when too short to band) so
+    the interleave reshapes never trigger GSPMD involuntary
+    rematerialization under height banding (round-2 dryrun tail)."""
+    yl = _spatial_hint(yl)
+    yh = _spatial_hint(yh)
+    return _spatial_hint(haar_idwt(yl, yh[..., 0:1], yh[..., 1:2],
+                                   yh[..., 2:3]))
 
 
 class DepthDecoder(nn.Module):
@@ -194,7 +206,7 @@ class KittiWaveletDecoder(nn.Module):
             if i == 4:
                 yl = new_yl
             self._log_coeffs(outputs, i - 1, yl, yh)
-            yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2], yh[..., 2:3])
+            yl = _idwt(yl, yh)
             outputs[("disp", i - 1)] = jnp.clip(yl / (2.0 ** (i - 1)), 0, 1)
         return outputs
 
@@ -216,16 +228,23 @@ class KittiWaveletDecoder(nn.Module):
                   wn["squeeze"]["kernel"], wn["squeeze"]["bias"],
                   wn["conv"]["kernel"], wn["conv"]["bias"])
         if backend == "sites":
-            from ..ops.sites import site_wave_stage
-            return site_wave_stage(
+            from ..ops.sites import site_wave_stage, stage_site_overflow
+            yh, x1 = site_wave_stage(
                 x, skip, mask, *params, i_scale=i,
                 cap_hi=min(1.0, 2 * cap_ratio),
                 cap_lo=min(1.0, 2.8 * cap_ratio),
                 cap_wav=min(1.0, 1.4 * cap_ratio))
-        from ..ops.compact import compact_wave_stage, default_tile_shape
+            overflow = stage_site_overflow(
+                mask, cap_lo=min(1.0, 2.8 * cap_ratio),
+                cap_hi=min(1.0, 2 * cap_ratio),
+                cap_wav=min(1.0, 1.4 * cap_ratio))
+            return yh, x1, overflow
+        from ..ops.compact import (compact_wave_stage, default_tile_shape,
+                                   stage_capacity_overflow)
         th, tw = default_tile_shape(2 * x.shape[1], 2 * x.shape[2])
-        return compact_wave_stage(x, skip, mask, *params, i_scale=i,
-                                  th=th, tw=tw, cap_ratio=cap_ratio)
+        yh, x1 = compact_wave_stage(x, skip, mask, *params, i_scale=i,
+                                    th=th, tw=tw, cap_ratio=cap_ratio)
+        return yh, x1, stage_capacity_overflow(mask, th, tw, cap_ratio)
 
     def _sparse(self, features: Sequence[Array], thresh_ratio,
                 sparse_scales: tuple, use_pallas: bool = False,
@@ -279,16 +298,28 @@ class KittiWaveletDecoder(nn.Module):
                             n_in, NUM_CH_DEC[i], NUM_CH_DEC[i])
                         scale_ops += sp.ops_sparse_conv3x3(
                             n_out, NUM_CH_DEC[i], 3)
-                    yh, x = self._compact_stage(x, skip, mask, i,
-                                                compact_cap, use_pallas)
+                    yh, x, overflow = self._compact_stage(
+                        x, skip, mask, i, compact_cap, use_pallas)
+                    # dropped sites/tiles past the static capacity: 0 =
+                    # this scale matched the oracle (ADVICE r2: silent
+                    # capacity overflow must be observable)
+                    outputs[("overflow", s)] = overflow
                     self._log_coeffs(outputs, s, yl, yh)
-                    yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2],
-                                   yh[..., 2:3])
+                    yl = _idwt(yl, yh)
                     scale_ops += sp.ops_idwt(yl.shape)
                     outputs[("disp", s)] = jnp.clip(yl / (2.0 ** s), 0, 1)
                     outputs[("total_ops", s)] = scale_ops
                     total_ops += scale_ops
                     continue
+                if use_pallas == "capacity":
+                    from ..ops.capacity import conv_capacity_overflow
+                    outputs[("overflow", s)] = (
+                        conv_capacity_overflow(
+                            masks["upconv0"], capacity_ratio=compact_cap)
+                        + conv_capacity_overflow(
+                            masks["upconv1"], capacity_ratio=compact_cap)
+                        + 2 * conv_capacity_overflow(
+                            masks["wavelet"], capacity_ratio=compact_cap))
                 x = self.blocks[f"upconv_{i}_0"](
                     x, in_mask=masks["lowres"],
                     out_mask=masks["upconv0"], use_pallas=use_pallas,
@@ -334,7 +365,7 @@ class KittiWaveletDecoder(nn.Module):
                     scale_ops += sp.ops_dense_conv3x3(x.shape, 3)
 
             self._log_coeffs(outputs, s, yl, yh)
-            yl = haar_idwt(yl, yh[..., 0:1], yh[..., 1:2], yh[..., 2:3])
+            yl = _idwt(yl, yh)
             scale_ops += sp.ops_idwt(yl.shape)
             outputs[("disp", s)] = jnp.clip(yl / (2.0 ** s), 0, 1)
             outputs[("total_ops", s)] = scale_ops

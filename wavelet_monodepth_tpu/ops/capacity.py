@@ -49,6 +49,17 @@ def tile_overflow(out_mask: Array, th: int, tw: int,
     return jnp.maximum((act > 0).sum(axis=1) - capacity, 0)
 
 
+def conv_capacity_overflow(out_mask: Array, th: int = 16, tw: int = 64,
+                           capacity_ratio: float = 0.5) -> Array:
+    """Total dropped active tiles (summed over the batch) for one
+    conv3x3_capacity_sparse call with the same defaults (0 = exact).
+    Replicates the per-image K formula inside the conv."""
+    h, w = out_mask.shape[1], out_mask.shape[2]
+    n_tiles = (-(-h // th)) * (-(-w // tw))
+    k = min(n_tiles, max(1, int(-(-n_tiles * capacity_ratio // 1))))
+    return tile_overflow(out_mask, th, tw, k).sum()
+
+
 @functools.partial(jax.jit, static_argnames=("pad_mode", "nonlin", "th",
                                              "tw", "capacity_ratio"))
 def conv3x3_capacity_sparse(x: Array, w: Array, b: Array,

@@ -108,6 +108,19 @@ def stage_overflow(upconv1_mask: Array, th: int, tw: int,
     return jnp.maximum((scores > 0).sum() - capacity, 0)
 
 
+def stage_capacity_overflow(mask: Array, th: int, tw: int,
+                            cap_ratio: float) -> Array:
+    """Dropped active tiles for one compact_wave_stage call (0 = the
+    stage matches the oracle in the interior). Replicates the K formula
+    and upconv1 tile scoring used inside compact_wave_stage."""
+    n, h_l, w_l = mask.shape[0], mask.shape[1], mask.shape[2]
+    hh, wh = 2 * h_l, 2 * w_l
+    nh, nw = -(-hh // th), -(-wh // tw)
+    n_tiles = nh * nw
+    k = min(n * n_tiles, max(1, math.ceil(n * n_tiles * cap_ratio)))
+    return stage_overflow(stage_masks(mask)["upconv1"], th, tw, k)
+
+
 def _stage_compute(xg, sg, m_u0, m_up, m_u1, m_wv,
                    w0, b0, w1, b1, wp1, bp1, wp3, bp3,
                    wn1, bn1, wn3, bn3, i_scale):

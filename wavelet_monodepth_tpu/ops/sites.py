@@ -61,6 +61,19 @@ def site_overflow(mask: Array, kcap: int) -> Array:
     return jnp.maximum(jnp.sum(mask > 0.5) - kcap, 0)
 
 
+def stage_site_overflow(mask: Array, cap_lo: float, cap_hi: float,
+                        cap_wav: float) -> Array:
+    """Total dropped sites for one site_wave_stage call (0 = the stage
+    is bit-equal to the oracle). Mirrors the three site_list capacities
+    inside site_wave_stage exactly."""
+    n, h_l, w_l = mask.shape[0], mask.shape[1], mask.shape[2]
+    hh, wh = 2 * h_l, 2 * w_l
+    masks = stage_masks(mask)
+    return (site_overflow(masks["upconv0"], _cap(n * h_l * w_l, cap_lo))
+            + site_overflow(masks["upconv1"], _cap(n * hh * wh, cap_hi))
+            + site_overflow(masks["wavelet"], _cap(n * hh * wh, cap_wav)))
+
+
 def gather_patches(xpad: Array, sites: Array, height: int,
                    width: int) -> Array:
     """im2col rows for 3x3 convs: (K, 9*C) patches around each site,

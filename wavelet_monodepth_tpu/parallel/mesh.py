@@ -87,8 +87,25 @@ def shard_spatial(mesh: Mesh, x):
 def jit_spatial_forward(mesh: Mesh, forward, n_param_args: int = 2):
     """jit `forward(*params, image)` with the image height-sharded over
     'spatial' and params/outputs replicated. `n_param_args` leading
-    arguments are parameter pytrees."""
+    arguments are parameter pytrees.
+
+    The trace runs under a mesh context with spatial hints enabled
+    (parallel/spatial_hints.py): decoder intermediates too short to
+    band are constrained replicated, which turns GSPMD's involuntary
+    rematerialization on the coarse-scale IDWT interleaves into planned
+    replicate->slice transitions (round-2 dryrun tail)."""
+    from . import spatial_hints
     rep = replicated(mesh)
     sp = spatial_sharding(mesh)
-    return jax.jit(forward, in_shardings=(rep,) * n_param_args + (sp,),
-                   out_shardings=rep)
+
+    def wrapped(*args):
+        with spatial_hints.active("spatial"):
+            return forward(*args)
+
+    jf = jax.jit(wrapped, in_shardings=(rep,) * n_param_args + (sp,),
+                 out_shardings=rep)
+
+    def call(*args):
+        with jax.sharding.set_mesh(mesh):   # P-specs resolve at trace
+            return jf(*args)
+    return call
