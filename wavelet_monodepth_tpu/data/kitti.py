@@ -150,9 +150,17 @@ class KittiRawDataset:
 
     # -- item assembly --------------------------------------------------
     def __getitem__(self, index: int) -> dict:
+        return self.item(index)
+
+    def item(self, index: int, rng: Optional[random.Random] = None) -> dict:
+        """Assemble one item. `rng` keys this item's augmentation draws
+        (parallel loaders pass a per-(seed, epoch, index) Random so the
+        stream is independent of worker scheduling, data/loader.py);
+        default is the dataset's shared sequential RNG."""
+        rng = rng if rng is not None else self.rng
         inputs: dict = {}
-        do_aug = self.is_train and self.rng.random() > 0.5
-        do_flip = self.is_train and self.rng.random() > 0.5
+        do_aug = self.is_train and rng.random() > 0.5
+        do_flip = self.is_train and rng.random() > 0.5
 
         line = self.filenames[index].split()
         folder = line[0]
@@ -168,7 +176,7 @@ class KittiRawDataset:
                 raw[i] = self.get_color(folder, frame_index + i, side,
                                         do_flip)
 
-        jit = _jitter_params(self.rng) if do_aug else None
+        jit = _jitter_params(rng) if do_aug else None
         for i, img in raw.items():
             prev = img
             for s in self.target_scales:

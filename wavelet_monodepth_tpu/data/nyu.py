@@ -66,20 +66,26 @@ class NyuDepthDataset:
         return len(self.pairs)
 
     def __getitem__(self, idx: int) -> dict:
+        return self.item(idx)
+
+    def item(self, idx: int, rng=None) -> dict:
+        """Assemble one item; `rng` keys the augmentation draws (see
+        data/loader.py), defaulting to the shared sequential RNG."""
+        rng = rng if rng is not None else self.rng
         img_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
         image = Image.open(BytesIO(self.data[img_name])).convert("RGB")
         depth = Image.open(BytesIO(self.data[depth_name]))
 
         if self.is_train:
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 image = image.transpose(Image.FLIP_LEFT_RIGHT)
                 depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
-            if self.rng.random() < self.channel_swap_p:
+            if rng.random() < self.channel_swap_p:
                 arr = np.asarray(image)
-                perm = _PERMS[self.rng.randint(0, len(_PERMS) - 1)]
+                perm = _PERMS[rng.randint(0, len(_PERMS) - 1)]
                 image = Image.fromarray(arr[..., list(perm)])
             if self.gamma:
-                g = self.rng.uniform(1.0 / self.gamma, self.gamma)
+                g = rng.uniform(1.0 / self.gamma, self.gamma)
                 arr = np.asarray(image, np.float32) / 255.0
                 image = Image.fromarray(
                     (255.0 * np.power(arr, g)).astype(np.uint8))

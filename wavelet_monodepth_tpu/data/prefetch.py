@@ -18,6 +18,7 @@ def to_device(batch_iter: Iterator, size: int = 2, sharding=None):
 
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = object()
+    err: list = []
 
     def put(batch):
         if sharding is not None:
@@ -29,6 +30,8 @@ def to_device(batch_iter: Iterator, size: int = 2, sharding=None):
         try:
             for batch in batch_iter:
                 q.put(put(batch))
+        except BaseException as e:      # re-raised in the consumer
+            err.append(e)
         finally:
             q.put(stop)
 
@@ -37,5 +40,7 @@ def to_device(batch_iter: Iterator, size: int = 2, sharding=None):
     while True:
         item = q.get()
         if item is stop:
+            if err:
+                raise err[0]
             return
         yield item

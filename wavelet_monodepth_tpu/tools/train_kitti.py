@@ -71,10 +71,22 @@ def main(argv=None):
     logger = SummaryLogger(log_path)
     timer = TrainTimer(steps_per_epoch * opts.num_epochs)
 
-    train_iter = kitti_data.batch_iterator(train_ds, opts.batch_size,
-                                           shuffle=True)
-    val_iter = kitti_data.batch_iterator(val_ds, opts.batch_size,
-                                         shuffle=True)
+    # threaded item loading (reference: DataLoader(num_workers=12),
+    # `trainer.py:128-139`) + double-buffered host->device transfer;
+    # batches land pre-sharded on the data mesh when one is active
+    from ..data.loader import parallel_batches
+    from ..data.prefetch import to_device
+    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+    train_iter = to_device(
+        parallel_batches(train_ds, opts.batch_size,
+                         num_workers=opts.num_workers, shuffle=True),
+        sharding=sharding)
+    # val mirrors the reference's shuffled val DataLoader
+    # (`trainer.py:136-138`), same worker pool size
+    val_iter = to_device(
+        parallel_batches(val_ds, opts.batch_size,
+                         num_workers=opts.num_workers, shuffle=True),
+        sharding=sharding)
 
     print(f"Training model named:\n   {opts.model_name}")
     print(f"There are {len(train_ds)} training and {len(val_ds)} "
@@ -83,9 +95,7 @@ def main(argv=None):
     for epoch in range(start_epoch, opts.num_epochs):
         for batch_idx in range(steps_per_epoch):
             t0 = time.time()
-            batch = next(train_iter)
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(mesh, batch)
+            batch = next(train_iter)   # already on device, sharded
             durations = {"dataloading": time.time() - t0}
             t1 = time.time()
             rng, sub = jax.random.split(rng)
@@ -101,13 +111,24 @@ def main(argv=None):
                 logger.scalars("train",
                                {k: float(v) for k, v in losses.items()},
                                step)
+                # train-batch visuals (`trainer.py:661-720`): warped
+                # predictions, automask, disparities, per-scale wavelet
+                # coefficient images/histograms/min-max — re-forwarded
+                # through the eval step so the jitted train step never
+                # fetches image tensors off-device on non-log steps
+                rng, sub = jax.random.split(rng)
+                toutputs, _ = eval_fn(state, batch, sub)
+                logger.log_kitti_visuals("train", batch, toutputs, opts,
+                                         step)
                 # one-batch validation (`trainer.py:312-327`)
                 vbatch = next(val_iter)
                 rng, sub = jax.random.split(rng)
-                _, vlosses = eval_fn(state, vbatch, sub)
+                voutputs, vlosses = eval_fn(state, vbatch, sub)
                 logger.scalars("val",
                                {k: float(v) for k, v in vlosses.items()},
                                step)
+                logger.log_kitti_visuals("val", vbatch, voutputs, opts,
+                                         step)
             step += 1
 
         if (epoch + 1) % opts.save_frequency == 0:

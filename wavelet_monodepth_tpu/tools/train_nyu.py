@@ -41,38 +41,62 @@ def main(argv=None):
 
     logger = SummaryLogger(log_path)
     n_batches = len(train_ds) // opts.batch_size
-    train_iter = nyu_data.batch_iterator(train_ds, opts.batch_size)
-    val_iter = nyu_data.batch_iterator(test_ds, opts.batch_size,
-                                       shuffle=False)
+    # threaded item loading (reference: DataLoader(num_workers),
+    # `NYUv2/data.py:222-223`) + double-buffered host->device transfer
+    from ..data.loader import parallel_batches
+    from ..data.prefetch import to_device
+    sharding = None
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+        sharding = mesh_lib.batch_sharding(mesh)
+    train_iter = to_device(
+        parallel_batches(train_ds, opts.batch_size,
+                         num_workers=opts.num_workers),
+        sharding=sharding)
+    val_iter = to_device(
+        parallel_batches(test_ds, opts.batch_size,
+                         num_workers=opts.num_workers, shuffle=False),
+        sharding=sharding)
 
     step = 0
     for epoch in range(opts.epochs):
         t_end = time.time()
         for i in range(n_batches):
-            batch = next(train_iter)
-            image = jnp.asarray(batch["image"])
-            depth = jnp.asarray(batch["depth"])
-            if mesh is not None:
-                from ..parallel import mesh as mesh_lib
-                sh = mesh_lib.batch_sharding(mesh)
-                image = jax.device_put(image, sh)
-                depth = jax.device_put(depth, sh)
+            batch = next(train_iter)   # already on device, sharded
+            image, depth = batch["image"], batch["depth"]
             state, losses = step_fn(state, image, depth)
             if i % 5 == 0:
                 bt = time.time() - t_end
                 print(f"Epoch: [{epoch}][{i}/{n_batches}]\t"
                       f"Time {bt:.3f}\t Loss {float(losses['loss']):.4f}")
             if i % opts.log_frequency == 0:
+                from ..ops.wavelets import haar_dwt_J
+                from ..train.nyu import depth_norm
                 logger.scalars("train",
                                {k: float(v) for k, v in losses.items()},
                                step)
+                # pred-vs-GT coefficient images + histograms
+                # (`NYUv2/train.py:113-163`): re-forward through the
+                # eval step at log time only
+                depth_n = (depth_norm(depth) if opts.disparity else depth)
+                toutputs = eval_fn(state, image)
+                gt_wav = (haar_dwt_J(depth_n, 4) if opts.use_wavelets
+                          else None)
+                logger.log_nyu_visuals("train", image, depth_n, toutputs,
+                                       gt_wav, step)
                 vbatch = next(val_iter)
                 outputs = eval_fn(state, jnp.asarray(vbatch["image"]))
                 vdepth = jnp.asarray(vbatch["depth"])
-                vlosses = setup.compute_losses(outputs, vdepth)
+                vdepth_n = (depth_norm(vdepth) if opts.disparity
+                            else vdepth)
+                vlosses = setup.compute_losses(outputs, vdepth_n)
                 logger.scalars("val",
                                {k: float(v) for k, v in vlosses.items()},
                                step)
+                logger.log_nyu_visuals(
+                    "val", vbatch["image"], vdepth_n, outputs,
+                    haar_dwt_J(vdepth_n, 4) if opts.use_wavelets
+                    else None, step)
             t_end = time.time()
             step += 1
         folder = ckpt.save_checkpoint(log_path, epoch, state,
