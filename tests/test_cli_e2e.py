@@ -97,6 +97,23 @@ def test_train_then_evaluate_sparse(mini_kitti, trained_ckpt, capsys):
     assert "abs_rel" in out and "Done!" in out
 
 
+def test_training_logs_visuals_to_tensorboard(trained_ckpt):
+    """`trainer.py:661-720` parity: the train/val event files carry
+    image tags (disparities, wavelet coefficients) and coefficient
+    histograms, not just loss scalars."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    model_dir = os.path.dirname(os.path.dirname(trained_ckpt))
+    for mode in ("train", "val"):
+        acc = EventAccumulator(os.path.join(model_dir, mode))
+        acc.Reload()
+        tags = acc.Tags()
+        assert any(t.startswith("disp_") for t in tags["images"]), tags
+        assert any("LH_" in t or "LL_" in t for t in tags["images"])
+        assert any(t.startswith("hist_") for t in tags["histograms"])
+        assert len(tags["scalars"]) > 0
+
+
 def test_infer_from_trained_checkpoint(mini_kitti, trained_ckpt):
     from wavelet_monodepth_tpu.tools.infer import main as infer_main
     img = os.path.join(mini_kitti, DRIVE, "image_02", "data",

@@ -70,6 +70,26 @@ def trained_nyu_ckpt(nyu_zip, tmp_path_factory):
     return folder
 
 
+def test_nyu_training_logs_coefficient_visuals(trained_nyu_ckpt):
+    """`NYUv2/train.py:113-163` parity: pred AND gt wavelet-coefficient
+    images + histograms reach the event files."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    model_dir = os.path.dirname(os.path.dirname(trained_nyu_ckpt))
+    for mode in ("train", "val"):
+        acc = EventAccumulator(os.path.join(model_dir, mode))
+        acc.Reload()
+        tags = acc.Tags()
+        assert any(t.endswith("_pred/0") and "hist" not in t
+                   for t in tags["images"]), tags
+        assert any(t.endswith("_gt/0") and "hist" not in t
+                   for t in tags["images"])
+        assert any(t.startswith("hist_") and t.endswith("_pred/0")
+                   for t in tags["histograms"])
+        assert any(t.startswith("hist_") and t.endswith("_gt/0")
+                   for t in tags["histograms"])
+
+
 def test_nyu_train_then_evaluate(nyu_mat, trained_nyu_ckpt, capsys):
     from wavelet_monodepth_tpu.tools.evaluate_nyu import main as ev_main
     data_path, splits_path = nyu_mat

@@ -52,6 +52,8 @@ class SummaryLogger:
         img = _to_np(img_hwc)
         if img.ndim == 3:
             img = img.transpose(2, 0, 1)
+        elif img.ndim == 2:        # masks/automasks land channel-less
+            img = img[None]
         w.add_image(tag, img, step)
 
     def histogram(self, mode: str, tag: str, values, step: int):
@@ -104,6 +106,57 @@ class SummaryLogger:
                     self.image(mode, f"disp_{scale}/{j}",
                                normalize_image_np(
                                    _to_np(outputs[dkey][j])), step)
+
+    def log_nyu_visuals(self, mode: str, image, depth_n, outputs: Dict,
+                        gt_wavelets=None, step: int = 0,
+                        max_images: int = 4, log_histogram: bool = True):
+        """`NYUv2/train.py:113-163` image set: input color, GT disparity,
+        per-scale predicted disparities, and pred-vs-GT wavelet
+        coefficient images (+histograms). `gt_wavelets` is the
+        (yl, [(lh, hl, hh) per level, finest first]) pair from
+        ops.wavelets.haar_dwt_J(depth_n, 4) — level index == scale, the
+        reference's `yh_gt[scale]` keying (`train.py:299-302`)."""
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        image = _to_np(image)
+        depth_n = _to_np(depth_n)
+        n = min(max_images, image.shape[0])
+        for j in range(n):
+            self.image(mode, f"color/{j}", image[j], step)
+            self.image(mode, f"disp_0_gt/{j}",
+                       normalize_image_np(depth_n[j]), step)
+            for scale in range(4):
+                dkey = ("disp", scale)
+                if dkey in outputs:
+                    self.image(mode, f"disp_{scale}_pred/{j}",
+                               normalize_image_np(
+                                   _to_np(outputs[dkey][j])), step)
+                coeffs = [("LH", 0), ("HL", 1), ("HH", 2)]
+                if scale == 3:
+                    coeffs = coeffs + [("LL", None)]
+                for coeff, ci in coeffs:
+                    key = ("wavelets", scale, coeff)
+                    if key not in outputs or outputs[key] is None:
+                        continue
+                    pred = _to_np(outputs[key][j])
+                    self.image(mode, f"{coeff}_{scale}_pred/{j}",
+                               normalize_image_np(pred), step)
+                    if log_histogram:
+                        self.histogram(mode,
+                                       f"hist_{coeff}_{scale}_pred/{j}",
+                                       pred, step)
+                    if gt_wavelets is None:
+                        continue
+                    yl_gt, highs = gt_wavelets
+                    gt = (_to_np(yl_gt[j]) if ci is None
+                          else _to_np(highs[scale][ci][j]))
+                    self.image(mode, f"{coeff}_{scale}_gt/{j}",
+                               normalize_image_np(gt), step)
+                    if log_histogram:
+                        self.histogram(mode,
+                                       f"hist_{coeff}_{scale}_gt/{j}",
+                                       gt, step)
 
     def close(self):
         for w in self.writers.values():
