@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--splits_path", type=str, required=True)
     p.add_argument("--edges_dir", type=str, default=None)
     p.add_argument("--load_weights_folder", type=str, default=None)
+    p.add_argument("--torch_model_path", type=str, default=None,
+                   help="reference model.pth (encoder.*/decoder.* "
+                        "scopes, `NYUv2/load_save_utils.py`)")
     p.add_argument("--encoder_type", type=str, default="densenet")
     p.add_argument("--num_layers", type=int, default=161)
     p.add_argument("--use_wavelets", action="store_true")
@@ -59,7 +62,20 @@ def main(argv=None):
     feats = encoder.apply(enc_vars, x)
     dec_vars = decoder.init(rng, feats)
 
-    if args.load_weights_folder:
+    if args.torch_model_path:
+        from . import torch_import as ti
+        sd = ti.load_pth(args.torch_model_path)
+        if opts.encoder_type != "densenet":
+            raise SystemExit("--torch_model_path import currently "
+                             "supports the densenet161 family")
+        enc_vars = ti.import_densenet_encoder(sd)
+        if args.use_wavelets:
+            dec_vars = ti.import_nyu_wave_decoder(sd)
+        else:
+            raise SystemExit("--torch_model_path import currently "
+                             "supports the DecoderWave family "
+                             "(--use_wavelets)")
+    elif args.load_weights_folder:
         import flax.serialization
         with open(os.path.join(args.load_weights_folder,
                                "state.msgpack"), "rb") as f:
