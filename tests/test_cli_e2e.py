@@ -97,6 +97,26 @@ def test_train_then_evaluate_sparse(mini_kitti, trained_ckpt, capsys):
     assert "abs_rel" in out and "Done!" in out
 
 
+def test_evaluate_dense_native_decode(mini_kitti, trained_ckpt, capsys):
+    """--native_decode feeds eval via the C++ threaded decoder
+    (native/wmd_native.cpp) instead of per-item PIL; metrics must stay
+    finite and the table shape identical."""
+    from wavelet_monodepth_tpu.data import native_loader
+    if not native_loader.available():
+        import subprocess
+        subprocess.run(["bash", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "build.sh")], check=True)
+    from wavelet_monodepth_tpu.tools.evaluate_depth import main as ev_main
+    ev_main(["--data_path", mini_kitti, "--eval_split", "eigen",
+             "--eval_stereo", "--use_wavelets", "--native_decode",
+             "--height", "64", "--width", "96", "--batch_size", "2",
+             "--load_weights_folder", trained_ckpt,
+             "--num_layers", "18"])
+    out = capsys.readouterr().out
+    assert "abs_rel" in out and "Done!" in out
+
+
 def test_training_logs_visuals_to_tensorboard(trained_ckpt):
     """`trainer.py:661-720` parity: the train/val event files carry
     image tags (disparities, wavelet coefficients) and coefficient

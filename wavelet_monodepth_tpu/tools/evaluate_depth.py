@@ -93,9 +93,10 @@ def main(argv=None):
             os.environ.get("WMD_TORCH_MODEL_PATH")
         forward = _load_forward(opts, torch_model_path)
 
+        # eval consumes scale 0 only — skip the 4-scale pyramid work
         ds = kitti_data.KittiRawDataset(
             opts.data_path, files, opts.height, opts.width, [0],
-            list(opts.scales), is_train=False,
+            target_scales=[0], is_train=False,
             img_ext=".png" if opts.png else ".jpg")
 
         def images():
@@ -104,6 +105,22 @@ def main(argv=None):
             # coefficient saving stays per-image like the reference
             coeff_mode = opts.save_pred_disps and opts.use_wavelets
             bs = 1 if coeff_mode else max(1, opts.batch_size)
+            if opts.native_decode:
+                # C++ threaded decode+resize (native/wmd_native.cpp):
+                # the whole host feed in one call per batch
+                from ..data import native_loader as nl
+                paths = []
+                for line in files:
+                    parts = line.split()
+                    folder = parts[0]
+                    fidx = int(parts[1]) if len(parts) == 3 else 0
+                    side = parts[2] if len(parts) == 3 else None
+                    paths.append(ds.get_image_path(folder, fidx, side))
+                for b0 in range(0, len(paths), bs):
+                    yield nl.decode_resize_batch(
+                        paths[b0:b0 + bs], opts.height, opts.width,
+                        num_threads=max(1, opts.num_workers))
+                return
             buf = []
             for i in range(len(ds)):
                 buf.append(ds[i][("color", "0", 0)])
