@@ -75,3 +75,16 @@ def test_velodyne_to_depth_matches_numpy():
     assert depth.shape == (96, 320)
     assert (depth > 0).sum() > 0
     assert depth.max() <= 21.5
+
+
+def test_build_pyramid_shapes_and_values():
+    """wmd_build_pyramid: chained half-scale resizes; level sizes halve
+    and each level approximates a direct cv2 resize of the previous."""
+    import cv2
+    rng = np.random.RandomState(6)
+    img = rng.rand(64, 96, 3).astype(np.float32)
+    levels = native_loader.build_pyramid(img, 3)
+    assert [a.shape for a in levels] == [(32, 48, 3), (16, 24, 3),
+                                         (8, 12, 3)]
+    want = cv2.resize(img, (48, 32), interpolation=cv2.INTER_LANCZOS4)
+    np.testing.assert_allclose(levels[0], want, atol=1e-5)

@@ -75,6 +75,25 @@ def decode_resize_batch(paths: Sequence[str], height: int, width: int,
     return out
 
 
+def build_pyramid(img: np.ndarray, levels: int) -> list[np.ndarray]:
+    """Chained half-scale Lanczos pyramid of a float32 (H, W, 3) image
+    (the multi-scale resize of `mono_dataset.py:111-116`, natively)."""
+    lib = load_library()
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img, np.float32)
+    outs = []
+    ptrs = (ctypes.POINTER(ctypes.c_float) * levels)()
+    for level in range(levels):
+        h, w = h // 2, w // 2
+        a = np.empty((h, w, 3), np.float32)
+        outs.append(a)
+        ptrs[level] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.wmd_build_pyramid(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[0], img.shape[1], levels, ptrs)
+    return outs
+
+
 def velodyne_to_depth(points: np.ndarray, P_velo2im: np.ndarray,
                       im_shape: tuple[int, int]) -> np.ndarray:
     """points (N, 4) float32, P (3, 4) -> depth (H, W) float32."""
