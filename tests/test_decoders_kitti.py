@@ -149,3 +149,43 @@ def test_sparse_scales_subset_dense_fallback(enc_feats, wave_setup):
                     sparse_scales=(3,))
     assert np.abs(np.asarray(dense[("disp", 0)])
                   - np.asarray(sp2[("disp", 0)])).mean() < 0.05
+
+
+def test_polyphase_matches_original_composition(enc_feats):
+    """use_polyphase folds upsample+upconv_X_1 into per-phase 2x2
+    kernels (ops/convops.py). Dense and masked-sparse outputs must match
+    the original composition to fp-reassociation noise, and the
+    thresh=-1 sparse==dense golden identity must stay BIT-exact."""
+    on = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18),
+                             use_polyphase=True)
+    off = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18),
+                              use_polyphase=False)
+    dv = on.init(jax.random.PRNGKey(1), enc_feats)
+    a, b = on.apply(dv, enc_feats), off.apply(dv, enc_feats)
+    for s in range(4):
+        np.testing.assert_allclose(a[("disp", s)], b[("disp", s)],
+                                   atol=5e-5, rtol=0)
+    sp_on = on.apply(dv, enc_feats, thresh_ratio=-1.0)
+    np.testing.assert_array_equal(np.asarray(sp_on[("disp", 0)]),
+                                  np.asarray(a[("disp", 0)]))
+    s_on = on.apply(dv, enc_feats, thresh_ratio=0.05)
+    s_off = off.apply(dv, enc_feats, thresh_ratio=0.05)
+    for s in range(4):
+        np.testing.assert_allclose(s_on[("disp", s)], s_off[("disp", s)],
+                                   atol=5e-5, rtol=0)
+    np.testing.assert_allclose(s_on[("total_ops", -1)],
+                               s_off[("total_ops", -1)], rtol=1e-6)
+
+
+def test_upsample_mask_is_2x2_constant():
+    """The identity the masked polyphase path rests on:
+    dilate5(upsample(m)) == upsample(dilate3(m)) including borders."""
+    from wavelet_monodepth_tpu.ops.image import upsample_nearest2x
+    from wavelet_monodepth_tpu.ops.sparse import dilate_mask, stage_masks
+    for seed in range(3):
+        m = jnp.asarray(
+            (np.random.RandomState(seed).rand(2, 9, 13, 1) > 0.8),
+            jnp.float32)
+        got = stage_masks(m)["upsample"]
+        want = upsample_nearest2x(dilate_mask(m, 3))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -88,3 +88,23 @@ def test_depthwise_variants(feats):
     v = dec.init(jax.random.PRNGKey(3), feats)
     out = dec.apply(v, feats)
     assert out[("disp", 0)].shape == (1, H // 2, W // 2, 1)
+
+
+def test_upblock_polyphase_matches_original(feats):
+    """NYU UpBlocks use the polyphase upsample+conv folding on the dense
+    path; outputs must match the materialized composition."""
+    from wavelet_monodepth_tpu.models.decoders_nyu import UpBlock
+    x = feats[-1]
+    skip = feats[-2]
+    blk = UpBlock(32, "zero", use_polyphase=True)
+    v = blk.init(jax.random.PRNGKey(3), x, skip)
+    got = blk.apply(v, x, skip)                   # polyphase (post-init)
+    # original composition: materialize upsample+concat, call the conv
+    from wavelet_monodepth_tpu.ops.convops import conv3x3
+    from wavelet_monodepth_tpu.ops.image import upsample_nearest2x
+    p = v["params"]["convA"]
+    up = jnp.concatenate([upsample_nearest2x(x), skip], axis=-1)
+    want = jax.nn.leaky_relu(conv3x3(up, p["kernel"], p["bias"], "zero"),
+                             negative_slope=0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=0)

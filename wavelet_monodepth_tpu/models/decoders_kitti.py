@@ -57,16 +57,25 @@ class DepthDecoder(nn.Module):
     num_ch_enc: Sequence[int]
     scales: Sequence[int] = (0, 1, 2, 3)
     use_skips: bool = True
+    use_polyphase: bool = False    # see KittiWaveletDecoder.use_polyphase (measured negative on v5e)
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> dict:
+        from ..ops.convops import upconv1_polyphase
         outputs = {}
         x = features[-1]
         for i in range(4, -1, -1):
             x = ConvBlock(NUM_CH_DEC[i], "zero", name=f"upconv_{i}_0")(x)
             skip = features[i - 1] if (self.use_skips and i > 0) else None
-            x = upsample_concat(x, skip)
-            x = ConvBlock(NUM_CH_DEC[i], "zero", name=f"upconv_{i}_1")(x)
+            if (skip is not None and self.use_polyphase
+                    and not self.is_initializing()):
+                p = self.variables["params"][f"upconv_{i}_1"]["conv"]
+                x = upconv1_polyphase(x, skip, p["kernel"], p["bias"],
+                                      "zero", nonlin=jax.nn.elu)
+            else:
+                x = upsample_concat(x, skip)
+                x = ConvBlock(NUM_CH_DEC[i], "zero",
+                              name=f"upconv_{i}_1")(x)
             if i in self.scales:
                 d = Conv3x3(1, "reflect", name=f"dispconv_{i}")(x)
                 outputs[("disp", i)] = jax.nn.sigmoid(d)
@@ -83,6 +92,14 @@ class KittiWaveletDecoder(nn.Module):
     """
     num_ch_enc: Sequence[int]
     use_skips: bool = True
+    # Polyphase folding of upsample+upconv_X_1 (ops/convops.py): exact
+    # up to fp reassociation (~6e-6 f32; thresh=-1 sparse==dense stays
+    # bit-equal), but a measured NEGATIVE on the v5e — bf16 0.95x,
+    # f32 0.75x: the phase-conv output + interleave materialize ~2x the
+    # bytes the 19% MAC cut saves on this bandwidth-bound net (PERF.md
+    # round 3, tools_dev/polyphase_experiment.py). Kept as an option
+    # for other shapes/platforms.
+    use_polyphase: bool = False
 
     def setup(self):
         blocks = {}
@@ -193,6 +210,29 @@ class KittiWaveletDecoder(nn.Module):
         return self._sparse(features, thresh_ratio, tuple(sparse_scales),
                             use_pallas, compact_cap, mask_override)
 
+    def _upconv1(self, x0: Array, skip: Optional[Array], i: int,
+                 in_mask_lo: Optional[Array] = None,
+                 cat_mask: Optional[Array] = None,
+                 out_mask: Optional[Array] = None) -> Array:
+        """upsample -> concat skip -> upconv_{i}_1 -> ELU (+ masks), via
+        the polyphase folding when eligible. Masked-dense identity:
+        u * m_up == upsample(x0 * dilate3(mask)) because the reference's
+        5x5 dilation of an upsampled mask IS 2x2-constant
+        (`depth_decoder.py:313-319`; verified in tests), so the caller
+        passes in_mask_lo = masks['lowres'] and cat_mask =
+        masks['upsample'] for the skip half."""
+        from ..ops.convops import upconv1_polyphase
+        if (skip is not None and self.use_polyphase
+                and not self.is_initializing()):
+            p = self.variables["params"][f"upconv_{i}_1"]["conv"]
+            xu = x0 if in_mask_lo is None else x0 * in_mask_lo
+            sk = skip if cat_mask is None else skip * cat_mask
+            y = upconv1_polyphase(xu, sk, p["kernel"], p["bias"],
+                                  "reflect", nonlin=jax.nn.elu)
+            return y if out_mask is None else y * out_mask
+        x = upsample_concat(x0, skip, out_mask=cat_mask)
+        return self.blocks[f"upconv_{i}_1"](x, out_mask=out_mask)
+
     def _dense(self, features: Sequence[Array]) -> dict:
         outputs = {}
         x = features[-1]
@@ -200,8 +240,7 @@ class KittiWaveletDecoder(nn.Module):
         for i in range(4, 0, -1):
             x = self.blocks[f"upconv_{i}_0"](x)
             skip = features[i - 1] if (self.use_skips and i > 0) else None
-            x = upsample_concat(x, skip)
-            x = self.blocks[f"upconv_{i}_1"](x)
+            x = self._upconv1(x, skip, i)
             new_yl, yh = self._coefficients(x, i, want_ll=(i == 4))
             if i == 4:
                 yl = new_yl
@@ -326,11 +365,19 @@ class KittiWaveletDecoder(nn.Module):
                     capacity_ratio=compact_cap)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv0"]), ichn0, NUM_CH_DEC[i])
-                x = upsample_concat(x, skip, out_mask=masks["upsample"])
-                ichn1 = x.shape[-1]
-                x = self.blocks[f"upconv_{i}_1"](
-                    x, out_mask=masks["upconv1"], use_pallas=use_pallas,
-                    capacity_ratio=compact_cap)
+                ichn1 = NUM_CH_DEC[i] + skip.shape[-1]
+                if use_pallas in (False, "xla"):
+                    x = self._upconv1(x, skip, i,
+                                      in_mask_lo=masks["lowres"],
+                                      cat_mask=masks["upsample"],
+                                      out_mask=masks["upconv1"])
+                else:
+                    x = upsample_concat(x, skip,
+                                        out_mask=masks["upsample"])
+                    x = self.blocks[f"upconv_{i}_1"](
+                        x, out_mask=masks["upconv1"],
+                        use_pallas=use_pallas,
+                        capacity_ratio=compact_cap)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv1"]), ichn1, NUM_CH_DEC[i])
                 _, yh = self._coefficients(
@@ -347,9 +394,11 @@ class KittiWaveletDecoder(nn.Module):
             else:
                 scale_ops += sp.ops_dense_conv3x3(x.shape, NUM_CH_DEC[i])
                 x = self.blocks[f"upconv_{i}_0"](x)
-                ux = upsample_concat(x, skip)
-                scale_ops += sp.ops_dense_conv3x3(ux.shape, NUM_CH_DEC[i])
-                x = self.blocks[f"upconv_{i}_1"](ux)
+                ux_shape = (x.shape[0], 2 * x.shape[1], 2 * x.shape[2],
+                            NUM_CH_DEC[i] + (skip.shape[-1]
+                                             if skip is not None else 0))
+                scale_ops += sp.ops_dense_conv3x3(ux_shape, NUM_CH_DEC[i])
+                x = self._upconv1(x, skip, i)
                 want_ll = (i == 4)
                 new_yl, yh = self._coefficients(x, i, want_ll=want_ll)
                 yh = yh * masks["wavelet"]

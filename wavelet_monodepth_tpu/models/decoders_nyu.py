@@ -82,12 +82,32 @@ class UpBlock(nn.Module):
     features: int
     pad_mode: str = "reflect"
     depthwise: bool = False
+    # measured negative on v5e (see decoders_kitti.use_polyphase)
+    use_polyphase: bool = False
 
     @nn.compact
     def __call__(self, x: Array, skip: Array, up_out_mask=None,
-                 out_mask=None, in_mask=None, use_pallas: bool = False):
+                 out_mask=None, in_mask=None, use_pallas: bool = False,
+                 up_in_mask_lo=None):
         if in_mask is not None:
             x = x * in_mask
+        if (self.use_polyphase and not self.depthwise and not use_pallas
+                and not self.is_initializing()
+                and (up_out_mask is None or up_in_mask_lo is not None)):
+            # polyphase folding of upsample+conv (ops/convops.py): the
+            # upsampled half of convA's input is 2x2-constant — 4/9 the
+            # MACs on it and no (N, 2h, 2w, C) materialization; exact up
+            # to fp reassociation (~1e-6). Masked path:
+            # upsample(x) * up_out_mask == upsample(x * up_in_mask_lo)
+            # because the 5x5-dilated upsampled mask is 2x2-constant
+            # (the caller passes dilate3(mask) as the low-res twin).
+            from ..ops.convops import upconv1_polyphase
+            p = self.variables["params"]["convA"]
+            xu = x if up_in_mask_lo is None else x * up_in_mask_lo
+            sk = skip if up_out_mask is None else skip * up_out_mask
+            y = upconv1_polyphase(xu, sk, p["kernel"], p["bias"],
+                                  self.pad_mode, nonlin=_leaky02)
+            return y if out_mask is None else y * out_mask
         up = jnp.concatenate([upsample_nearest2x(x), skip], axis=-1)
         if up_out_mask is not None:
             up = up * up_out_mask
@@ -253,7 +273,8 @@ class NyuDecoderWave(nn.Module):
 
             cat_c = x.shape[-1] + skip.shape[-1]
             x = up(x, skip, in_mask=up_mask, up_out_mask=conva_mask,
-                   out_mask=wave_mask, use_pallas=use_pallas)
+                   out_mask=wave_mask, use_pallas=use_pallas,
+                   up_in_mask_lo=sp.dilate_mask(mask, 3))
             total += sp.ops_sparse_conv3x3(
                 sp.mask_count(wave_mask), cat_c, x.shape[-1])
             if use_pallas and not self.dw_waveconv:
