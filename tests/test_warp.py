@@ -1,0 +1,89 @@
+"""Pallas banded stereo warp (ops/warp.py): parity with the gather-path
+grid_sample_border on real stereo-projection grids — forward, image
+gradients, and depth gradients — plus the band contract itself."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelet_monodepth_tpu.ops.geometry import (backproject_depth,
+                                                project_3d)
+from wavelet_monodepth_tpu.ops.image import grid_sample_border
+from wavelet_monodepth_tpu.ops.warp import grid_sample_border_banded
+
+H, W = 24, 40
+
+
+def _setup(seed=0, tx=0.1):
+    rng = np.random.RandomState(seed)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = 0.58 * W, 1.92 * H
+    K[0, 2], K[1, 2] = 0.5 * W, 0.5 * H
+    invK = np.linalg.pinv(K).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = tx
+    Kb = jnp.asarray(K)[None].repeat(2, 0)
+    invKb = jnp.asarray(invK)[None].repeat(2, 0)
+    Tb = jnp.asarray(T)[None].repeat(2, 0)
+    depth = jnp.asarray(rng.rand(2, H, W, 1).astype(np.float32) * 50 + 1)
+    img = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    return Kb, invKb, Tb, depth, img
+
+
+@pytest.mark.parametrize("tx", [0.1, -0.1])
+def test_banded_warp_matches_gather_forward(tx):
+    Kb, invKb, Tb, depth, img = _setup(tx=tx)
+    grid = project_3d(backproject_depth(depth, invKb), Kb, Tb, H, W)
+    ref = grid_sample_border(img, grid)
+    got = grid_sample_border_banded(img, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=0)
+
+
+def test_banded_warp_gradients_match_gather():
+    Kb, invKb, Tb, depth, img = _setup(seed=3)
+
+    def loss(sampler, img, depth):
+        g = project_3d(backproject_depth(depth, invKb), Kb, Tb, H, W)
+        return jnp.sum(jnp.sin(sampler(img, g) * 3.0))
+
+    gi_r, gd_r = jax.grad(lambda i, d: loss(grid_sample_border, i, d),
+                          argnums=(0, 1))(img, depth)
+    gi_n, gd_n = jax.grad(
+        lambda i, d: loss(grid_sample_border_banded, i, d),
+        argnums=(0, 1))(img, depth)
+    np.testing.assert_allclose(np.asarray(gi_n), np.asarray(gi_r),
+                               atol=2e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(gd_n), np.asarray(gd_r),
+                               atol=2e-4, rtol=0)
+
+
+def test_stereo_grid_is_row_banded():
+    """The contract the kernel rests on: rectified-stereo grids stay
+    within +-0.51 rows of the output row after the align_corners=False
+    map, for near and far depths and both baselines."""
+    for tx in (0.1, -0.1):
+        for dscale in (0.15, 80.0):
+            Kb, invKb, Tb, depth, _ = _setup(tx=tx)
+            depth = jnp.full_like(depth, dscale)
+            grid = project_3d(backproject_depth(depth, invKb), Kb, Tb,
+                              H, W)
+            y = ((np.asarray(grid[..., 1]) + 1.0) * H - 1.0) * 0.5
+            rows = np.arange(H, dtype=np.float32)[None, :, None]
+            assert np.abs(y - rows).max() < 0.51
+
+
+def test_banded_warp_border_clamp():
+    """Coords pushed far out of range clamp to the border, matching
+    padding_mode='border' (and their gradients vanish)."""
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    u = jnp.full((1, H, W), 3.0)          # x far right
+    rows = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0 - 1.0
+    v = jnp.broadcast_to(rows[None, :, None], (1, H, W))
+    grid = jnp.stack([u, v], axis=-1)
+    ref = grid_sample_border(img, grid)
+    got = grid_sample_border_banded(img, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=0)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.geometry import backproject_depth, disp_to_depth, project_3d
 from ..ops.image import get_smooth_loss, grid_sample_border, resize_bilinear
+from ..ops.warp import grid_sample_border_banded
 from ..ops.ssim import ssim as ssim_fn
 
 Array = jnp.ndarray
@@ -61,14 +62,22 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         for frame_id in frame_ids[1:]:
             if frame_id == "s":
                 T = inputs[("stereo_T",)]
+                # rectified-stereo grids are row-banded: the Pallas
+                # banded warp replaces the descriptor-bound XLA gather
+                # (47% of the b12 step, PERF.md) with per-row VMEM
+                # interpolation matmuls
+                sampler = (grid_sample_border_banded
+                           if getattr(opts, "stereo_warp_kernel", True)
+                           else grid_sample_border)
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
+                sampler = grid_sample_border
             cam_points = backproject_depth(
                 depth, inputs[("inv_K", source_scale)])
             pix = project_3d(cam_points, inputs[("K", source_scale)], T,
                              h, w)
             outputs[("sample", str(frame_id), scale)] = pix
-            outputs[("color", str(frame_id), scale)] = grid_sample_border(
+            outputs[("color", str(frame_id), scale)] = sampler(
                 inputs[("color", str(frame_id), source_scale)], pix)
 
     if opts.use_depth_hints and "s" in frame_ids[1:]:
@@ -76,7 +85,10 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         cam_points = backproject_depth(depth, inputs[("inv_K", 0)])
         pix = project_3d(cam_points, inputs[("K", 0)], inputs[("stereo_T",)],
                          depth.shape[1], depth.shape[2])
-        outputs[("color_depth_hint", "s", 0)] = grid_sample_border(
+        sampler = (grid_sample_border_banded
+                   if getattr(opts, "stereo_warp_kernel", True)
+                   else grid_sample_border)
+        outputs[("color_depth_hint", "s", 0)] = sampler(
             inputs[("color", "s", 0)], pix)
     return outputs
 
