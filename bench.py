@@ -122,6 +122,52 @@ def main():
     measure("sparse_thresh02_f32", enc_vars, dec_vars, x, masks,
             "threshold")
 
+    # batch-1 serving latency (slope-measured: the ~0.13 ms relay
+    # dispatch floor makes naive batch-1 timing unusable, PERF.md) —
+    # the reference's own serving shape (`test_simple.py`, batch-1
+    # asserts at `depth_decoder.py:297`)
+    b1 = {}
+    try:
+        xb1 = xb[:1]
+        m1 = {i: m[:1] for i, m in masks.items()}
+        K0b, K1b = 2, 34
+
+        def spf1(mode):
+            args = (evb, dvb, xb1, m1)
+            float(chained(*args, K0b, mode))
+            float(chained(*args, K1b, mode))
+
+            def t(k):
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    float(chained(*args, k, mode))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+            return (t(K1b) - t(K0b)) / (K1b - K0b)
+
+        b1["batch1_ms_dense_bf16"] = round(1e3 * spf1("dense"), 4)
+        b1["batch1_ms_sparse_bf16"] = round(1e3 * spf1("edge"), 4)
+    except Exception as e:
+        print(f"batch1 failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # MFU: XLA cost-analysis FLOPs over the slope-measured device time
+    mfu = {}
+    try:
+        @jax.jit
+        def one_dense(ev, dv, img):
+            return decoder.apply(dv, encoder.apply(ev, img))[("disp", 0)]
+        ca = one_dense.lower(evb, dvb, xb).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_eval = float(ca.get("flops", 0.0))
+        spf_dense = results.get("dense_bf16", float("inf"))
+        if spf_dense not in (0.0, float("inf")):
+            mfu["tflops_effective_dense_bf16"] = round(
+                flops_eval / (spf_dense * BATCH) / 1e12, 2)
+            mfu["gflop_per_frame"] = round(flops_eval / BATCH / 1e9, 2)
+    except Exception as e:
+        print(f"mfu failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     @jax.jit
     def density_of(ev, dv, img, mo):
         out = decoder.apply(dv, encoder.apply(ev, img),
@@ -157,6 +203,8 @@ def main():
             "batch": BATCH,
             "measurement": "slope (serialized on-device loop)",
             "device": str(jax.devices()[0]),
+            **b1,
+            **mfu,
         },
     }
     print(json.dumps(result))
