@@ -62,12 +62,13 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         for frame_id in frame_ids[1:]:
             if frame_id == "s":
                 T = inputs[("stereo_T",)]
-                # rectified-stereo grids are row-banded: the Pallas
-                # banded warp replaces the descriptor-bound XLA gather
-                # (47% of the b12 step, PERF.md) with per-row VMEM
-                # interpolation matmuls
+                # rectified-stereo grids are row-banded; the Pallas
+                # banded warp (ops/warp.py) is exact here but measured
+                # SLOWER than the flat-row gather on v5e (PERF.md
+                # round 3) — off by default, selectable via
+                # stereo_warp_kernel for other platforms
                 sampler = (grid_sample_border_banded
-                           if getattr(opts, "stereo_warp_kernel", True)
+                           if getattr(opts, "stereo_warp_kernel", False)
                            else grid_sample_border)
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
@@ -86,7 +87,7 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         pix = project_3d(cam_points, inputs[("K", 0)], inputs[("stereo_T",)],
                          depth.shape[1], depth.shape[2])
         sampler = (grid_sample_border_banded
-                   if getattr(opts, "stereo_warp_kernel", True)
+                   if getattr(opts, "stereo_warp_kernel", False)
                    else grid_sample_border)
         outputs[("color_depth_hint", "s", 0)] = sampler(
             inputs[("color", "s", 0)], pix)
