@@ -110,3 +110,34 @@ def test_fusion_rejects_decoy_depths():
     fused = ph.fuse_depths(candidates, left, right, baseline_sign=-1)
     frac_true = np.mean(np.abs(fused[CROP] - GT_DEPTH) < 1e-5)
     assert frac_true > 0.95, frac_true
+
+
+def test_precompute_cli_end_to_end(tmp_path):
+    """tools/precompute_depth_hints.main on a fabricated two-file
+    stereo tree, threaded (num_workers=2): hints land at the dataset's
+    expected path with plausible depths."""
+    import os
+    left, right = _stereo_pair(seed=1)
+    drive = "2011_09_26/2011_09_26_drive_0009_sync"
+    for sub, img in (("image_02", left), ("image_03", right)):
+        d = tmp_path / drive / sub / "data"
+        d.mkdir(parents=True)
+        for f in range(2):
+            cv2.imwrite(str(d / f"{f:010d}.jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    split = tmp_path / "files.txt"
+    split.write_text(f"{drive} 0 l\n{drive} 1 l\n")
+
+    ph.main(["--data_path", str(tmp_path), "--filenames", str(split),
+             "--height", str(H), "--width", str(W), "--num_workers",
+             "2"])
+    for f in range(2):
+        out = (tmp_path / "depth_hints" / drive / "image_02" /
+               f"{f:010d}.npy")
+        assert out.exists()
+        depth = np.load(out)
+        assert depth.shape == (1, H, W)
+        d = depth[0][CROP]
+        assert np.isfinite(d).all() and (d > 0).mean() > 0.5
+        med = np.median(d[d > 0])
+        assert abs(med - GT_DEPTH) / GT_DEPTH < 0.2

@@ -118,18 +118,21 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--overwrite_saved_depths", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="thread pool over files: cv2 decode + the 12 "
+                        "SGBM matchers release the GIL (the reference "
+                        "parallelizes the same stage with DataLoader "
+                        "workers, precompute_depth_hints.py:222)")
     args = p.parse_args(argv)
 
     import cv2
     cv2.setNumThreads(0)
     save_path = args.save_path or os.path.join(args.data_path,
                                                "depth_hints")
-    matchers = generate_stereo_matchers()
     files = readlines(args.filenames)
     print(f"Computing depth hints for {len(files)} files...")
 
-    t0 = time.time()
-    for i, line in enumerate(files):
+    def process(line, matchers):
         folder, frame, side = line.split()
         frame = int(frame)
         side_folder = "image_02" if side == "l" else "image_03"
@@ -137,7 +140,7 @@ def main(argv=None):
         out_dir = os.path.join(save_path, folder, side_folder)
         out_file = os.path.join(out_dir, f"{frame:010d}.npy")
         if os.path.exists(out_file) and not args.overwrite_saved_depths:
-            continue
+            return
 
         def load(img_folder):
             path = os.path.join(args.data_path, folder,
@@ -159,9 +162,34 @@ def main(argv=None):
 
         os.makedirs(out_dir, exist_ok=True)
         np.save(out_file, best[None])
-        if i % 50 == 0 and i > 0:
-            dt = time.time() - t0
-            print(f"image {i}/{len(files)}  imgs/s: {i / dt:.2f}")
+
+    t0 = time.time()
+    nw = max(1, args.num_workers)
+    if nw == 1:
+        matchers = generate_stereo_matchers()
+        for i, line in enumerate(files):
+            process(line, matchers)
+            if i % 50 == 0 and i > 0:
+                dt = time.time() - t0
+                print(f"image {i}/{len(files)}  imgs/s: {i / dt:.2f}")
+    else:
+        # cv2 StereoSGBM objects are not thread-safe: one matcher set
+        # per worker thread
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        tls = threading.local()
+
+        def worker(line):
+            if not hasattr(tls, "matchers"):
+                tls.matchers = generate_stereo_matchers()
+            process(line, tls.matchers)
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            for i, _ in enumerate(pool.map(worker, files)):
+                if i % 50 == 0 and i > 0:
+                    dt = time.time() - t0
+                    print(f"image {i}/{len(files)}  imgs/s: "
+                          f"{i / dt:.2f}")
     print("done.")
 
 
