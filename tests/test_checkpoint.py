@@ -44,6 +44,23 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt.latest_checkpoint(str(tmp_path)) == folder
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    """backend='orbax' writes an OCDBT directory; load_checkpoint
+    auto-detects it (SURVEY §5.4: orbax-style checkpoint-resume is the
+    TPU production path — multi-host / sharding-aware)."""
+    opts, setup = _tiny_setup()
+    state = setup.init_state(jax.random.PRNGKey(0))
+    folder = ckpt.save_checkpoint(str(tmp_path), 1, state,
+                                  backend="orbax")
+    assert os.path.isdir(os.path.join(folder, "state.orbax"))
+    fresh = setup.init_state(jax.random.PRNGKey(9))
+    restored = ckpt.load_checkpoint(folder, fresh)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == int(state.step)
+
+
 def test_partial_restore(tmp_path):
     opts, setup = _tiny_setup()
     state = setup.init_state(jax.random.PRNGKey(0))

@@ -97,6 +97,31 @@ def test_train_then_evaluate_sparse(mini_kitti, trained_ckpt, capsys):
     assert "abs_rel" in out and "Done!" in out
 
 
+def test_orbax_checkpoint_backend_end_to_end(mini_kitti,
+                                             tmp_path_factory, capsys):
+    """--checkpoint_backend orbax: train writes an OCDBT dir and the
+    eval CLI auto-detects it (no msgpack present)."""
+    from wavelet_monodepth_tpu.tools.evaluate_depth import main as ev_main
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    log_dir = str(tmp_path_factory.mktemp("orbax_logs"))
+    train_main(["--data_path", mini_kitti, "--log_dir", log_dir,
+                "--model_name", "mini_orbax", "--split", "eigen_zhou",
+                "--height", "64", "--width", "96",
+                "--batch_size", "2", "--num_epochs", "1",
+                "--use_stereo", "--frame_ids", "0", "--use_wavelets",
+                "--log_frequency", "999", "--save_frequency", "1",
+                "--num_layers", "18", "--checkpoint_backend", "orbax"])
+    folder = os.path.join(log_dir, "mini_orbax", "models", "weights_0")
+    assert os.path.isdir(os.path.join(folder, "state.orbax"))
+    assert not os.path.exists(os.path.join(folder, "state.msgpack"))
+    ev_main(["--data_path", mini_kitti, "--eval_split", "eigen",
+             "--eval_stereo", "--use_wavelets",
+             "--height", "64", "--width", "96", "--batch_size", "2",
+             "--load_weights_folder", folder, "--num_layers", "18"])
+    out = capsys.readouterr().out
+    assert "abs_rel" in out and "Done!" in out
+
+
 def test_evaluate_dense_native_decode(mini_kitti, trained_ckpt, capsys):
     """--native_decode feeds eval via the C++ threaded decoder
     (native/wmd_native.cpp) instead of per-item PIL; metrics must stay

@@ -43,9 +43,8 @@ def _load_forward(opts, torch_model_path):
                 dec_sd, tuple(opts.scales))
     elif opts.load_weights_folder:
         import flax.serialization
-        with open(os.path.join(opts.load_weights_folder,
-                               "state.msgpack"), "rb") as f:
-            raw = flax.serialization.msgpack_restore(f.read())
+        from ..utils.checkpoint import load_raw_state
+        raw = load_raw_state(opts.load_weights_folder)
         enc_vars = {
             "params": flax.serialization.from_state_dict(
                 enc_vars["params"], raw["params"]["encoder"]),

@@ -77,9 +77,8 @@ def main(argv=None):
                              "(--use_wavelets)")
     elif args.load_weights_folder:
         import flax.serialization
-        with open(os.path.join(args.load_weights_folder,
-                               "state.msgpack"), "rb") as f:
-            raw = flax.serialization.msgpack_restore(f.read())
+        from ..utils.checkpoint import load_raw_state
+        raw = load_raw_state(args.load_weights_folder)
         enc_vars = {
             "params": flax.serialization.from_state_dict(
                 enc_vars["params"], raw["params"]["encoder"]),

@@ -59,9 +59,8 @@ def main(argv=None):
         dv = ti.import_pose_decoder(dec_sd)
     elif args.load_weights_folder:
         import flax.serialization
-        with open(os.path.join(args.load_weights_folder,
-                               "state.msgpack"), "rb") as f:
-            raw = flax.serialization.msgpack_restore(f.read())
+        from ..utils.checkpoint import load_raw_state
+        raw = load_raw_state(args.load_weights_folder)
         ev = {"params": flax.serialization.from_state_dict(
                   ev["params"], raw["params"]["pose_encoder"]),
               "batch_stats": flax.serialization.from_state_dict(

@@ -99,9 +99,8 @@ def build(args):
         dec_vars = decoder.init(rng, feats)
         if args.model_path:      # nyu family checkpoint (train_nyu's)
             import flax.serialization
-            with open(os.path.join(args.model_path, "state.msgpack"),
-                      "rb") as f:
-                raw = flax.serialization.msgpack_restore(f.read())
+            from ..utils.checkpoint import load_raw_state
+            raw = load_raw_state(args.model_path)
             enc_vars = {
                 "params": flax.serialization.from_state_dict(
                     enc_vars["params"], raw["params"]["encoder"]),

@@ -72,9 +72,8 @@ def load_variables(args):
         feats = encoder.apply(enc_vars, x)
         dec_vars = decoder.init(rng, feats)
         import flax.serialization
-        with open(os.path.join(args.model_path, "state.msgpack"),
-                  "rb") as f:
-            raw = flax.serialization.msgpack_restore(f.read())
+        from ..utils.checkpoint import load_raw_state
+        raw = load_raw_state(args.model_path)
         params = raw.get("params", raw)
         enc_vars = {"params": flax.serialization.from_state_dict(
                         enc_vars["params"], params["encoder"]),

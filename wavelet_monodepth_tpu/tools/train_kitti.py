@@ -134,8 +134,9 @@ def main(argv=None):
         if (epoch + 1) % opts.save_frequency == 0:
             meta = {"height": opts.height, "width": opts.width,
                     "use_stereo": int(opts.use_stereo), "epoch": epoch}
-            folder = ckpt.save_checkpoint(log_path, epoch, state, meta,
-                                          opts)
+            folder = ckpt.save_checkpoint(
+                log_path, epoch, state, meta, opts,
+                backend=opts.checkpoint_backend)
             print(f"saved checkpoint to {folder}")
     logger.close()
 

@@ -101,7 +101,8 @@ def main(argv=None):
             step += 1
         folder = ckpt.save_checkpoint(log_path, epoch, state,
                                       {"epoch": epoch,
-                                       "use_224": opts.use_224}, opts)
+                                       "use_224": opts.use_224}, opts,
+                                      backend=opts.checkpoint_backend)
         print(f"saved checkpoint to {folder}")
     logger.close()
 

@@ -24,13 +24,25 @@ import jax
 
 def save_checkpoint(log_path: str, epoch: int, state: Any,
                     meta: Optional[dict] = None,
-                    opts: Optional[Any] = None) -> str:
-    """Write models/weights_<epoch>/ with state.msgpack + meta.json."""
+                    opts: Optional[Any] = None,
+                    backend: str = "msgpack") -> str:
+    """Write models/weights_<epoch>/ with the state + meta.json.
+
+    backend: 'msgpack' (single portable file, the default) or 'orbax'
+    (sharding-aware OCDBT directory via orbax.checkpoint — the
+    production choice for multi-host / large states; either backend is
+    auto-detected on load)."""
     folder = os.path.join(log_path, "models", f"weights_{epoch}")
     os.makedirs(folder, exist_ok=True)
-    state = jax.device_get(state)
-    with open(os.path.join(folder, "state.msgpack"), "wb") as f:
-        f.write(flax.serialization.to_bytes(state))
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(folder), "state.orbax")
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.device_get(state), force=True)
+    else:
+        state = jax.device_get(state)
+        with open(os.path.join(folder, "state.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(state))
     if meta:
         with open(os.path.join(folder, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
@@ -41,11 +53,29 @@ def save_checkpoint(log_path: str, epoch: int, state: Any,
 
 
 def load_checkpoint(folder: str, target: Any) -> Any:
-    """Restore a state pytree saved by save_checkpoint. `target` supplies
-    the structure (e.g. a freshly built TrainState)."""
+    """Restore a state pytree saved by save_checkpoint (either backend;
+    auto-detected). `target` supplies the structure (e.g. a freshly
+    built TrainState)."""
+    orbax_path = os.path.join(os.path.abspath(folder), "state.orbax")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(orbax_path, jax.device_get(target))
     with open(os.path.join(folder, "state.msgpack"), "rb") as f:
         data = f.read()
     return flax.serialization.from_bytes(target, data)
+
+
+def load_raw_state(folder: str) -> dict:
+    """Raw nested state dict from either backend (auto-detected) —
+    for consumers that pick out param subtrees (eval/infer CLIs)."""
+    orbax_path = os.path.join(os.path.abspath(folder), "state.orbax")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(orbax_path)
+    with open(os.path.join(folder, "state.msgpack"), "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
 
 
 def load_meta(folder: str) -> dict:

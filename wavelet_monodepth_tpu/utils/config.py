@@ -81,6 +81,7 @@ class KittiOptions:
     bfloat16: bool = False                 # bf16 inference; bf16 mixed-precision training (f32 master params)
     native_decode: bool = False            # eval feed via the C++ threaded decoder (native/wmd_native.cpp; cv2 LANCZOS4 vs PIL LANCZOS differ ~1e-3/px)
     stereo_warp_kernel: bool = False       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py; exact to ~1e-5 but measured SLOWER than the flat-row gather on v5e — PERF.md round 3)
+    checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
 
     def validate_for_training(self):
         """The reference's constructor asserts (`trainer.py:35-61`)."""
@@ -139,6 +140,7 @@ class NyuOptions:
     # TPU-NATIVE additions
     data_axis: int = 1
     bfloat16: bool = False
+    checkpoint_backend: str = "msgpack"    # msgpack | orbax
 
 
 def save_opts(opts, path: str):
