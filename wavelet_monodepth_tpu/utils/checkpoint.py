@@ -92,8 +92,7 @@ def load_params_partial(folder: str, target_params: dict,
     (`trainer.py:762-773`): keys present in the checkpoint and in
     `models_to_load` replace the target's; everything else keeps its
     (fresh) value."""
-    with open(os.path.join(folder, "state.msgpack"), "rb") as f:
-        raw = flax.serialization.msgpack_restore(f.read())
+    raw = load_raw_state(folder)
     params = raw.get("params", raw)
     out = dict(target_params)
     for name in models_to_load:
