@@ -52,6 +52,11 @@ def parallel_batches(dataset, batch_size: int, num_workers: int = 4,
     threads and keeping up to `prefetch_batches` ready batches ahead of
     the consumer. num_workers=0 degrades to synchronous loading (same
     batches: the item order and per-item RNG keys are identical)."""
+    if num_workers > 0 and not hasattr(dataset, "item"):
+        raise ValueError(
+            "parallel loading needs dataset.item(index, rng) — plain "
+            "__getitem__ draws from a shared RNG and would race across "
+            "workers; pass num_workers=0 for such datasets")
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
 
