@@ -74,6 +74,42 @@ def test_stereo_grid_is_row_banded():
             assert np.abs(y - rows).max() < 0.51
 
 
+@pytest.mark.parametrize("sampler", [grid_sample_border,
+                                     grid_sample_border_banded])
+def test_warp_mixed_dtypes_promote_and_stay_finite(sampler):
+    """Regression: at W=640 bf16 can't represent integer coords > 256
+    (clip(x, 0, 639) rounds to 640 -> out-of-bounds gather -> NaN, and
+    casting y0 to a bf16 img dtype corrupted the bilinear weights).
+    Coordinate/weight math must run in f32 regardless of input dtypes;
+    outputs follow jnp promotion. A bf16 IMAGE with an f32 grid must be
+    accurate to image quantization; bf16 GRIDS are inherently coarse
+    (ulp 2-4 px at x~640) so we only require finiteness + dtype there
+    (production keeps grids f32, train/kitti.py mp notes)."""
+    hh, ww = 8, 640
+    rng = np.random.RandomState(7)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = 0.58 * ww, 1.92 * hh
+    K[0, 2], K[1, 2] = 0.5 * ww, 0.5 * hh
+    invK = np.linalg.pinv(K).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.1
+    Kb, invKb, Tb = (jnp.asarray(a)[None] for a in (K, invK, T))
+    depth = jnp.asarray(rng.rand(1, hh, ww, 1).astype(np.float32) * 50 + 1)
+    img = jnp.asarray(rng.rand(1, hh, ww, 3).astype(np.float32))
+    grid = project_3d(backproject_depth(depth, invKb), Kb, Tb, hh, ww)
+    oracle = np.asarray(grid_sample_border(img, grid))
+
+    for idt in (jnp.float32, jnp.bfloat16):
+        for gdt in (jnp.float32, jnp.bfloat16):
+            out = sampler(img.astype(idt), grid.astype(gdt))
+            assert out.dtype == jnp.promote_types(idt, gdt)
+            o = np.asarray(out, np.float32)
+            assert np.isfinite(o).all(), (idt, gdt)
+            if gdt == jnp.float32:
+                tol = 1e-5 if idt == jnp.float32 else 1e-2
+                np.testing.assert_allclose(o, oracle, atol=tol, rtol=0)
+
+
 def test_banded_warp_border_clamp():
     """Coords pushed far out of range clamp to the border, matching
     padding_mode='border' (and their gradients vanish)."""

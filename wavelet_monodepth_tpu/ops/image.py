@@ -109,12 +109,17 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     4x fewer descriptors at 4x the row width is a direct win. The
     shifted copies are three cheap elementwise passes."""
     n, h, w, c = img.shape
-    y = jnp.clip(y, 0.0, h - 1.0)
-    x = jnp.clip(x, 0.0, w - 1.0)
+    out_dt = jnp.promote_types(img.dtype, y.dtype)
+    # index/weight math pinned to f32: bf16 can't represent integer
+    # pixel coords > 256 (e.g. clip(x, 0, 639) rounds 639 -> 640 in
+    # bf16, sending the take out of bounds), and casting y0 to a bf16
+    # img dtype corrupted the bilinear weights. No-ops on the f32 path.
+    y = jnp.clip(y.astype(jnp.float32), 0.0, h - 1.0)
+    x = jnp.clip(x.astype(jnp.float32), 0.0, w - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
     x0 = jnp.floor(x).astype(jnp.int32)
-    wy = (y - y0.astype(img.dtype))[..., None]
-    wx = (x - x0.astype(img.dtype))[..., None]
+    wy = (y - y0.astype(jnp.float32))[..., None]
+    wx = (x - x0.astype(jnp.float32))[..., None]
 
     right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
     down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
@@ -131,7 +136,7 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
                           v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    return (top * (1 - wy) + bot * wy).astype(out_dt)
 
 
 def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:

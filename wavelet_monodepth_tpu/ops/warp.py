@@ -55,9 +55,9 @@ def _interp_mats(x0r, x1r, wxr, w):
     x-derivative, from (1, W) per-row index/weight vectors (f32-valued
     integers: small ints compare exactly, and f32 avoids the
     nondiff-int-arg custom_vjp restriction)."""
-    iota = jax.lax.broadcasted_iota(wxr.dtype, (w, w), 0)
-    h0 = (iota == x0r).astype(wxr.dtype)
-    h1 = (iota == x1r).astype(wxr.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    h0 = (iota == x0r.astype(jnp.int32)).astype(wxr.dtype)
+    h1 = (iota == x1r.astype(jnp.int32)).astype(wxr.dtype)
     return h0 * (1.0 - wxr) + h1 * wxr, h1 - h0
 
 
@@ -205,6 +205,13 @@ def grid_sample_border_banded(img: Array, grid: Array) -> Array:
     required (guaranteed by the rectified-stereo projection; see module
     docstring). Exact vs the gather path to ~1e-6 (per-row y read at
     column 0)."""
+    img = jnp.asarray(img)
+    grid = jnp.asarray(grid)  # raw numpy would promote bf16+float to f32
+    # match the gather path's promotion semantics (bf16 img x f32 grid
+    # -> f32 out); the kernel itself is single-dtype
+    dt = jnp.promote_types(img.dtype, grid.dtype)
+    img = img.astype(dt)
+    grid = grid.astype(dt)
     n, h, w, c = img.shape
     u = grid[..., 0]
     v = grid[..., 1]
