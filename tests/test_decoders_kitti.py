@@ -189,3 +189,20 @@ def test_upsample_mask_is_2x2_constant():
         got = stage_masks(m)["upsample"]
         want = upsample_nearest2x(dilate_mask(m, 3))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sparse_no_skips(enc_feats):
+    """Regression: the sparse path dereferenced skip.shape for
+    use_skips=False (round-3 review). Golden identity must hold
+    skip-less too, and the whole-stage backends that structurally
+    require skips must refuse loudly."""
+    dec = KittiWaveletDecoder(num_ch_enc=num_ch_enc(18), use_skips=False)
+    v = dec.init(jax.random.PRNGKey(2), enc_feats)
+    dense = dec.apply(v, enc_feats)
+    sparse = dec.apply(v, enc_feats, thresh_ratio=-1.0)
+    np.testing.assert_array_equal(np.asarray(sparse[("disp", 0)]),
+                                  np.asarray(dense[("disp", 0)]))
+    out = dec.apply(v, enc_feats, thresh_ratio=0.05)
+    assert out[("disp", 0)].shape == dense[("disp", 0)].shape
+    with pytest.raises(ValueError, match="use_skips"):
+        dec.apply(v, enc_feats, thresh_ratio=0.05, use_pallas="sites")

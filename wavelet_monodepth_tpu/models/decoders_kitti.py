@@ -324,6 +324,13 @@ class KittiWaveletDecoder(nn.Module):
                 ichn0 = x.shape[-1]
                 if (use_pallas in ("compact", "sites")
                         and not self.is_initializing()):
+                    if skip is None:
+                        raise ValueError(
+                            "use_pallas='compact'/'sites' whole-stage "
+                            "backends require use_skips=True (their "
+                            "upconv1 kernels consume the encoder skip); "
+                            "use the masked-dense/'xla'/'capacity' "
+                            "backends for skip-less decoding")
                     scale_ops += sp.ops_sparse_conv3x3(
                         sp.mask_count(masks["upconv0"]), ichn0,
                         NUM_CH_DEC[i])
@@ -365,7 +372,8 @@ class KittiWaveletDecoder(nn.Module):
                     capacity_ratio=compact_cap)
                 scale_ops += sp.ops_sparse_conv3x3(
                     sp.mask_count(masks["upconv0"]), ichn0, NUM_CH_DEC[i])
-                ichn1 = NUM_CH_DEC[i] + skip.shape[-1]
+                ichn1 = NUM_CH_DEC[i] + (skip.shape[-1]
+                                         if skip is not None else 0)
                 if use_pallas in (False, "xla"):
                     x = self._upconv1(x, skip, i,
                                       in_mask_lo=masks["lowres"],
