@@ -62,10 +62,13 @@ def _interp_mats(x0r, x1r, wxr, w):
 
 
 def _fwd_kernel(v0, v1, v2, x0i, x1i, wx, wy, sel, out, *, tr, w):
+    # coordinate rows (x0i/x1i/wx/wy/sel) arrive f32 regardless of the
+    # image dtype (bf16 can't represent integer coords > 256); the row
+    # math runs f32 and only the store quantizes to the output dtype
     def row(j, _):
         selr = sel[0, j].reshape(1, w)
-        lo = jnp.where(selr == 0.0, v0[0, j], v1[0, j])
-        hi = jnp.where(selr == 0.0, v1[0, j], v2[0, j])
+        lo = jnp.where(selr == 0.0, v0[0, j], v1[0, j]).astype(jnp.float32)
+        hi = jnp.where(selr == 0.0, v1[0, j], v2[0, j]).astype(jnp.float32)
         wyr = wy[0, j].reshape(1, w)
         mixed = (1.0 - wyr) * lo + wyr * hi                  # (C, W)
         pt, _ = _interp_mats(x0i[0, j].reshape(1, w),
@@ -73,7 +76,7 @@ def _fwd_kernel(v0, v1, v2, x0i, x1i, wx, wy, sel, out, *, tr, w):
                              wx[0, j].reshape(1, w), w)
         out[0, j] = jax.lax.dot_general(
             mixed, pt, (((1,), (0,)), ((), ())),
-            preferred_element_type=mixed.dtype)
+            preferred_element_type=mixed.dtype).astype(out.dtype)
         return 0
     jax.lax.fori_loop(0, tr, row, 0)
 
@@ -82,29 +85,29 @@ def _bwd_kernel(v0, v1, v2, x0i, x1i, wx, wy, sel, g,
                 gv0, gv1, gv2, gwx, gwy, *, tr, w):
     def row(j, _):
         selr = sel[0, j].reshape(1, w)
-        lo = jnp.where(selr == 0.0, v0[0, j], v1[0, j])
-        hi = jnp.where(selr == 0.0, v1[0, j], v2[0, j])
+        lo = jnp.where(selr == 0.0, v0[0, j], v1[0, j]).astype(jnp.float32)
+        hi = jnp.where(selr == 0.0, v1[0, j], v2[0, j]).astype(jnp.float32)
         wyr = wy[0, j].reshape(1, w)
         mixed = (1.0 - wyr) * lo + wyr * hi
         pt, dpt = _interp_mats(x0i[0, j].reshape(1, w),
                                x1i[0, j].reshape(1, w),
                                wx[0, j].reshape(1, w), w)
-        gr = g[0, j]                                          # (C, W)
+        gr = g[0, j].astype(jnp.float32)                      # (C, W)
         # d/d mixed: gm[c, w] = sum_j g[c, j] * pt[w, j]
         gm = jax.lax.dot_general(gr, pt, (((1,), (1,)), ((), ())),
                                  preferred_element_type=gr.dtype)
         glo = (1.0 - wyr) * gm
         ghi = wyr * gm
         zero = jnp.zeros_like(gm)
-        gv0[0, j] = jnp.where(selr == 0.0, glo, zero)
-        gv1[0, j] = jnp.where(selr == 0.0, ghi, glo)
-        gv2[0, j] = jnp.where(selr == 0.0, zero, ghi)
+        gv0[0, j] = jnp.where(selr == 0.0, glo, zero).astype(gv0.dtype)
+        gv1[0, j] = jnp.where(selr == 0.0, ghi, glo).astype(gv1.dtype)
+        gv2[0, j] = jnp.where(selr == 0.0, zero, ghi).astype(gv2.dtype)
         # d/d wx: per out col j, sum_c g * (mixed @ dpt)
         diff = jax.lax.dot_general(mixed, dpt, (((1,), (0,)), ((), ())),
                                    preferred_element_type=mixed.dtype)
-        gwx[0, j] = jnp.sum(gr * diff, axis=0)
+        gwx[0, j] = jnp.sum(gr * diff, axis=0).astype(gwx.dtype)
         # d/d wy (as materialized per src col w): sum_c gm * (hi - lo)
-        gwy[0, j] = jnp.sum(gm * (hi - lo), axis=0)
+        gwy[0, j] = jnp.sum(gm * (hi - lo), axis=0).astype(gwy.dtype)
         return 0
     jax.lax.fori_loop(0, tr, row, 0)
 
@@ -156,8 +159,8 @@ def _call(kernel, n_out, src_nhcw, x0i, x1i, wx, wyv, selv, extra=()):
                 jax.ShapeDtypeStruct((n, h, c, wp), src_nhcw.dtype))
             out_specs.append(img_spec)
         else:
-            shapes.append(jax.ShapeDtypeStruct((n, h, wp),
-                                               src_nhcw.dtype))
+            # row outputs are cotangents of the f32 coordinate rows
+            shapes.append(jax.ShapeDtypeStruct((n, h, wp), wx.dtype))
             out_specs.append(row_spec)
     res = pl.pallas_call(
         functools.partial(kernel, tr=tr, w=wp),
@@ -207,11 +210,14 @@ def grid_sample_border_banded(img: Array, grid: Array) -> Array:
     column 0)."""
     img = jnp.asarray(img)
     grid = jnp.asarray(grid)  # raw numpy would promote bf16+float to f32
-    # match the gather path's promotion semantics (bf16 img x f32 grid
-    # -> f32 out); the kernel itself is single-dtype
+    # output dtype matches the gather path's promotion semantics (bf16
+    # img x f32 grid -> f32 out); coordinate/weight math is pinned to
+    # f32 like _bilinear_gather (bf16 can't represent integer coords
+    # > 256: clip(x, 0, 639) would round to 640 and the one-hot compare
+    # would match no column)
     dt = jnp.promote_types(img.dtype, grid.dtype)
     img = img.astype(dt)
-    grid = grid.astype(dt)
+    grid = grid.astype(jnp.float32)
     n, h, w, c = img.shape
     u = grid[..., 0]
     v = grid[..., 1]
