@@ -108,3 +108,28 @@ def test_upblock_polyphase_matches_original(feats):
                              negative_slope=0.2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=0)
+
+
+def test_decoder_polyphase_matches_original(feats):
+    """Decoder-level use_polyphase (round-3 review: the UpBlock flag was
+    unreachable) — dense AND masked-sparse outputs must match the
+    original composition up to fp reassociation, for the wave decoder
+    and the 224 variant."""
+    for cls in (NyuDecoderWave, NyuDecoderWave224, NyuDecoder):
+        dec0 = cls(num_ch_enc=NUM_CH_ENC)
+        dec1 = cls(num_ch_enc=NUM_CH_ENC, use_polyphase=True)
+        v = dec0.init(jax.random.PRNGKey(3), feats)
+        out0 = dec0.apply(v, feats)
+        out1 = dec1.apply(v, feats)
+        np.testing.assert_allclose(
+            np.asarray(out1[("disp", 0)]), np.asarray(out0[("disp", 0)]),
+            atol=2e-5, err_msg=f"{cls.__name__} dense")
+    dec0 = NyuDecoderWave(num_ch_enc=NUM_CH_ENC)
+    dec1 = NyuDecoderWave(num_ch_enc=NUM_CH_ENC, use_polyphase=True)
+    v = dec0.init(jax.random.PRNGKey(3), feats)
+    s0 = dec0.apply(v, feats, thresh_ratio=0.05)
+    s1 = dec1.apply(v, feats, thresh_ratio=0.05)
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(s1[("disp", s)]), np.asarray(s0[("disp", s)]),
+            atol=2e-5, err_msg=f"sparse disp {s}")

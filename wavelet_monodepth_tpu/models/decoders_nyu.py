@@ -124,18 +124,20 @@ class NyuDecoder(nn.Module):
     num_ch_enc: Sequence[int]
     decoder_width: float = 0.5
     is_depthwise: bool = False
+    use_polyphase: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> dict:
         f = int(self.num_ch_enc[-1] * self.decoder_width)
+        pp = self.use_polyphase
         x = Conv3x3(f, "zero", name="conv2")(features[-1])
-        x = UpBlock(f // 2, "zero", self.is_depthwise, name="up1")(
+        x = UpBlock(f // 2, "zero", self.is_depthwise, pp, name="up1")(
             x, features[-2])
-        x = UpBlock(f // 4, "zero", self.is_depthwise, name="up2")(
+        x = UpBlock(f // 4, "zero", self.is_depthwise, pp, name="up2")(
             x, features[-3])
-        x = UpBlock(f // 8, "zero", self.is_depthwise, name="up3")(
+        x = UpBlock(f // 8, "zero", self.is_depthwise, pp, name="up3")(
             x, features[-4])
-        x = UpBlock(f // 16, "zero", self.is_depthwise, name="up4")(
+        x = UpBlock(f // 16, "zero", self.is_depthwise, pp, name="up4")(
             x, features[-5])
         d = _conv3x3(1, "zero", self.is_depthwise, "conv3")(x)
         return {("disp", 0): d}
@@ -147,18 +149,20 @@ class NyuDecoder224(nn.Module):
     num_ch_enc: Sequence[int]
     decoder_width: float = 0.5
     is_depthwise: bool = False
+    use_polyphase: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> dict:
         f = int(self.num_ch_enc[-1] * self.decoder_width)
+        pp = self.use_polyphase
         x = Conv3x3(f, "zero", name="conv2")(features[-1])
-        x = UpBlock(f // 2, "zero", self.is_depthwise, name="up1")(
+        x = UpBlock(f // 2, "zero", self.is_depthwise, pp, name="up1")(
             x, features[-2])
-        x = UpBlock(f // 4, "zero", self.is_depthwise, name="up2")(
+        x = UpBlock(f // 4, "zero", self.is_depthwise, pp, name="up2")(
             x, features[-3])
-        x = UpBlock(f // 8, "zero", self.is_depthwise, name="up3")(
+        x = UpBlock(f // 8, "zero", self.is_depthwise, pp, name="up3")(
             x, features[-4])
-        x = UpBlock(f // 16, "zero", self.is_depthwise, name="up4")(
+        x = UpBlock(f // 16, "zero", self.is_depthwise, pp, name="up4")(
             x, features[-5])
         x = upsample_nearest2x(x)
         x = _leaky02(_conv3x3(f // 32, "zero", self.is_depthwise,
@@ -178,17 +182,22 @@ class NyuDecoderWave(nn.Module):
     decoder_width: float = 0.5
     dw_waveconv: bool = False
     dw_upconv: bool = False
+    use_polyphase: bool = False
 
     def setup(self):
         f = int(self.num_ch_enc[-1] * self.decoder_width)
+        pp = self.use_polyphase
         self.f = f
         self.conv2 = Conv3x3(f, "replicate", name="conv2")
-        self.up1 = UpBlock(f // 2, "reflect", self.dw_upconv, name="up1")
+        self.up1 = UpBlock(f // 2, "reflect", self.dw_upconv, pp,
+                           name="up1")
         self.wave1_ll = Conv3x3(1, "replicate", name="wave1_ll")
         self.wave1 = _conv3x3(3, "zero", self.dw_waveconv, "wave1")
-        self.up2 = UpBlock(f // 4, "reflect", self.dw_upconv, name="up2")
+        self.up2 = UpBlock(f // 4, "reflect", self.dw_upconv, pp,
+                           name="up2")
         self.wave2 = _conv3x3(3, "zero", self.dw_waveconv, "wave2")
-        self.up3 = UpBlock(f // 8, "reflect", self.dw_upconv, name="up3")
+        self.up3 = UpBlock(f // 8, "reflect", self.dw_upconv, pp,
+                           name="up3")
         self.wave3 = _conv3x3(3, "zero", self.dw_waveconv, "wave3")
 
     def _log(self, outputs, s, yl, h):
@@ -301,10 +310,12 @@ class NyuDecoderWave224(nn.Module):
     decoder_width: float = 0.5
     dw_waveconv: bool = False
     dw_upconv: bool = False
+    use_polyphase: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[Array]) -> dict:
         f = int(self.num_ch_enc[-1] * self.decoder_width)
+        pp = self.use_polyphase
         outputs = {}
 
         def log(s, yl, h):
@@ -314,7 +325,7 @@ class NyuDecoderWave224(nn.Module):
             outputs[("wavelets", s, "HL")] = h[..., 1:2]
             outputs[("wavelets", s, "HH")] = h[..., 2:3]
 
-        x_d1 = UpBlock(f // 2, "reflect", self.dw_upconv, name="up1")(
+        x_d1 = UpBlock(f // 2, "reflect", self.dw_upconv, pp, name="up1")(
             Conv3x3(f, "replicate", name="conv2")(features[-1]),
             features[-2])
         ll = (2.0 ** 4) * Conv3x3(1, "replicate", name="wave1_ll")(x_d1)
@@ -324,7 +335,7 @@ class NyuDecoderWave224(nn.Module):
         ll = haar_idwt(ll, h[..., 0:1], h[..., 1:2], h[..., 2:3])
         outputs[("disp", 3)] = ll / (2.0 ** 3)
 
-        x_d2 = UpBlock(f // 4, "reflect", self.dw_upconv, name="up2")(
+        x_d2 = UpBlock(f // 4, "reflect", self.dw_upconv, pp, name="up2")(
             x_d1, features[-3])
         h = (2.0 ** 2) * _conv3x3(3, "zero", self.dw_waveconv,
                                   "wave2")(x_d2)
@@ -332,14 +343,14 @@ class NyuDecoderWave224(nn.Module):
         ll = haar_idwt(ll, h[..., 0:1], h[..., 1:2], h[..., 2:3])
         outputs[("disp", 2)] = ll / (2.0 ** 2)
 
-        x_d3 = UpBlock(f // 8, "reflect", self.dw_upconv, name="up3")(
+        x_d3 = UpBlock(f // 8, "reflect", self.dw_upconv, pp, name="up3")(
             x_d2, features[-4])
         h = 2.0 * _conv3x3(3, "zero", self.dw_waveconv, "wave3")(x_d3)
         log(1, None, h)
         ll = haar_idwt(ll, h[..., 0:1], h[..., 1:2], h[..., 2:3])
         outputs[("disp", 1)] = ll / 2.0   # ref uses // (int-div bug), we /
 
-        x_d4 = UpBlock(f // 16, "reflect", self.dw_upconv, name="up4")(
+        x_d4 = UpBlock(f // 16, "reflect", self.dw_upconv, pp, name="up4")(
             x_d3, features[-5])
         h = _conv3x3(3, "zero", self.dw_waveconv, "wave4")(x_d4)
         log(0, None, h)
