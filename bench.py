@@ -80,21 +80,27 @@ def main():
             return carry + d.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def spf(ev, dv, img, mo, mode, backend=False, reps=2):
-        """slope-measured seconds per frame"""
-        args = (ev, dv, img, mo)
-        float(chained(*args, K0, mode, backend))
-        float(chained(*args, K1, mode, backend))
+    def slope(call, k0, k1, reps=2):
+        """Slope-measured seconds per chained eval: warm both K's, then
+        min-of-reps at each, difference over (k1 - k0) — the one timing
+        discipline that survives the relay dispatch floor (PERF.md)."""
+        float(call(k0))
+        float(call(k1))
 
         def t(k):
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(chained(*args, k, mode, backend))
+                float(call(k))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        return (t(K1) - t(K0)) / (K1 - K0) / BATCH
+        return (t(k1) - t(k0)) / (k1 - k0)
+
+    def spf(ev, dv, img, mo, mode, backend=False, reps=2):
+        """slope-measured seconds per frame"""
+        return slope(lambda k: chained(ev, dv, img, mo, k, mode, backend),
+                     K0, K1, reps) / BATCH
 
     results = {}
 
@@ -133,18 +139,8 @@ def main():
         K0b, K1b = 2, 34
 
         def spf1(mode):
-            args = (evb, dvb, xb1, m1)
-            float(chained(*args, K0b, mode))
-            float(chained(*args, K1b, mode))
-
-            def t(k):
-                ts = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    float(chained(*args, k, mode))
-                    ts.append(time.perf_counter() - t0)
-                return min(ts)
-            return (t(K1b) - t(K0b)) / (K1b - K0b)
+            return slope(lambda k: chained(evb, dvb, xb1, m1, k, mode),
+                         K0b, K1b)
 
         b1["batch1_ms_dense_bf16"] = round(1e3 * spf1("dense"), 4)
         b1["batch1_ms_sparse_bf16"] = round(1e3 * spf1("edge"), 4)
