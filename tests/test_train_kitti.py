@@ -179,3 +179,41 @@ def test_mixed_precision_close_to_f32_first_step():
     rel = abs(float(l32["loss"]) - float(l16["loss"])) / max(
         abs(float(l32["loss"])), 1e-6)
     assert rel < 0.05
+
+
+def test_banded_warp_auto_selection_and_train_step():
+    """stereo_warp_kernel='auto' resolves by width (banded wins 2.4-2.8x
+    at 1024-wide on v5e, gather wins at 640 — PERF.md round 3), and a
+    train step with the banded kernel forced on matches the gather step
+    losses closely on the same batch."""
+    from wavelet_monodepth_tpu.train.losses_kitti import (
+        BANDED_WARP_MIN_WIDTH, use_banded_warp)
+
+    narrow = _stereo_hints_opts()
+    assert narrow.stereo_warp_kernel == "auto"
+    assert not use_banded_warp(narrow)
+    wide = dataclasses.replace(narrow, width=BANDED_WARP_MIN_WIDTH)
+    assert use_banded_warp(wide)
+    assert use_banded_warp(dataclasses.replace(narrow,
+                                               stereo_warp_kernel="on"))
+    assert not use_banded_warp(dataclasses.replace(
+        wide, stereo_warp_kernel="off"))
+    assert use_banded_warp(dataclasses.replace(
+        narrow, stereo_warp_kernel=True))    # direct-API bool
+    with pytest.raises(ValueError, match="auto/on/off"):
+        use_banded_warp(dataclasses.replace(narrow,
+                                            stereo_warp_kernel="maybe"))
+
+    batch = synthetic_batch(narrow, 2)
+    losses = {}
+    for kern in ("off", "on"):
+        opts = dataclasses.replace(narrow, stereo_warp_kernel=kern)
+        setup = KittiTrainSetup(opts, steps_per_epoch=10)
+        state = setup.init_state(jax.random.PRNGKey(0))
+        _, l = setup.jit_train_step()(state, batch, jax.random.PRNGKey(0))
+        losses[kern] = float(l["loss"])
+    assert np.isfinite(losses["on"])
+    # per-pixel warp parity is ~1e-5 (test_warp.py); the min-reprojection
+    # argmin flips discretely on those ulps, so the loss only agrees to
+    # ~1e-3 relative
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-3)

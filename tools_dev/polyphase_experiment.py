@@ -20,6 +20,17 @@ K0, K1 = 1, 9
 
 
 def main():
+    global BATCH, H, W
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=H)
+    ap.add_argument("--width", type=int, default=W)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--dtype", choices=("both", "bf16", "f32"),
+                    default="both")
+    a = ap.parse_args()
+    H, W, BATCH = a.height, a.width, a.batch
+
     import jax
     import jax.numpy as jnp
 
@@ -84,8 +95,10 @@ def main():
 
     # compile all 8 configs first, then measure interleaved in one window
     configs = []
-    for dtype, ev, dv, img in (("bf16", evb, dvb, xb),
-                               ("f32", enc_vars, dec_vars, x)):
+    dtyped = [("bf16", evb, dvb, xb), ("f32", enc_vars, dec_vars, x)]
+    if a.dtype != "both":
+        dtyped = [d for d in dtyped if d[0] == a.dtype]
+    for dtype, ev, dv, img in dtyped:
         for name, ch in (("poly", ch_on), ("orig", ch_off)):
             for mode in ("dense", "edge"):
                 configs.append((f"{dtype}_{name}_{mode}", ch, ev, dv,

@@ -1,8 +1,12 @@
-"""Same-window A/B: Pallas banded stereo warp (ops/warp.py) vs the XLA
-gather warp, on the full jitted KITTI stereo+hints train step
-(640x192, batch 12, f32 and bf16-mp). Slope method with params-dependent
-fetch (see tools_dev/train_perf_experiment.py for the traps)."""
-import dataclasses
+"""Width crossover for the Pallas banded stereo warp: gather vs banded
+on the full jitted KITTI stereo+hints train step at 640x192 / 832x256 /
+1024x320, bf16-mp (the production dtype), batch 6, ONE window.
+
+Context: the banded kernel measured 0.82-0.88x at 640x192 (PERF.md
+round 3) but 2.4-2.8x at 1024x320 — the XLA gather degrades
+super-linearly in width. This locates the crossover for the
+stereo_warp_kernel='auto' default.
+"""
 import functools
 import os
 import sys
@@ -14,34 +18,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 
-K1, K2 = 2, 20
-B = 12
+K1, K2 = 2, 12
+B = 6
+SHAPES = ((192, 640), (256, 832), (320, 1024))
 
 
 def main():
-    global B
-    import argparse
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--height", type=int, default=192)
-    ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=B)
-    a = ap.parse_args()
-    B = a.batch
-
     from wavelet_monodepth_tpu.train.kitti import (KittiTrainSetup,
                                                    synthetic_batch)
     from wavelet_monodepth_tpu.utils.config import KittiOptions
 
-    base = dict(use_stereo=True, frame_ids=(0,), use_depth_hints=True,
-                use_wavelets=True, num_layers=18, height=a.height,
-                width=a.width, batch_size=B)
     configs = []
-    for mp in (False, True):
+    for h, w in SHAPES:
         for kern in (True, False):
-            opts = KittiOptions(stereo_warp_kernel=kern, **base)
+            opts = KittiOptions(use_stereo=True, frame_ids=(0,),
+                                use_depth_hints=True, use_wavelets=True,
+                                num_layers=18, height=h, width=w,
+                                batch_size=B, stereo_warp_kernel=kern)
             setup = KittiTrainSetup(opts, steps_per_epoch=1000)
             batch = synthetic_batch(opts, B)
-            step = setup.make_train_step(mp)
+            step = setup.make_train_step(True)   # bf16-mp
 
             @functools.partial(jax.jit, static_argnames="k")
             def chained(state, k, step=step, batch=batch):
@@ -52,7 +48,7 @@ def main():
                 leaf = jax.tree_util.tree_leaves(out.params)[0]
                 return leaf.astype(jnp.float32).sum()
 
-            tag = f"{'bf16mp' if mp else 'f32'}_{'pallas' if kern else 'gather'}"
+            tag = f"{w}x{h}_{'pallas' if kern else 'gather'}"
             configs.append((tag, setup, chained))
 
     for tag, setup, chained in configs:

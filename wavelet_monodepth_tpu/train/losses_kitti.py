@@ -28,6 +28,28 @@ from ..ops.ssim import ssim as ssim_fn
 
 Array = jnp.ndarray
 
+# Width where the Pallas banded warp overtakes the XLA gather on a v5e
+# (same-window A/Bs, PERF.md round 3: gather wins 1.1-1.2x at 640,
+# banded wins 2.4-2.8x at 1024 — the gather's descriptor cost degrades
+# super-linearly in row width).
+BANDED_WARP_MIN_WIDTH = 832
+
+
+def use_banded_warp(opts) -> bool:
+    """Resolve stereo_warp_kernel: "auto" (or None) selects the banded
+    Pallas warp for wide images, the flat-row gather below the
+    crossover; "on"/"off" (or bools, for direct API use) force it."""
+    v = getattr(opts, "stereo_warp_kernel", "auto")
+    if isinstance(v, bool):
+        return v
+    if v in (None, "auto"):
+        return opts.width >= BANDED_WARP_MIN_WIDTH
+    if v in ("on", "true", "1"):
+        return True
+    if v in ("off", "false", "0"):
+        return False
+    raise ValueError(f"stereo_warp_kernel must be auto/on/off, got {v!r}")
+
 
 def compute_reprojection_loss(pred: Array, target: Array,
                               no_ssim: bool = False) -> Array:
@@ -63,12 +85,10 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
             if frame_id == "s":
                 T = inputs[("stereo_T",)]
                 # rectified-stereo grids are row-banded; the Pallas
-                # banded warp (ops/warp.py) is exact here but measured
-                # SLOWER than the flat-row gather on v5e (PERF.md
-                # round 3) — off by default, selectable via
-                # stereo_warp_kernel for other platforms
+                # banded warp (ops/warp.py) is exact here. Width decides
+                # the winner (see use_banded_warp) — PERF.md round 3.
                 sampler = (grid_sample_border_banded
-                           if getattr(opts, "stereo_warp_kernel", False)
+                           if use_banded_warp(opts)
                            else grid_sample_border)
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
@@ -87,7 +107,7 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
         pix = project_3d(cam_points, inputs[("K", 0)], inputs[("stereo_T",)],
                          depth.shape[1], depth.shape[2])
         sampler = (grid_sample_border_banded
-                   if getattr(opts, "stereo_warp_kernel", False)
+                   if use_banded_warp(opts)
                    else grid_sample_border)
         outputs[("color_depth_hint", "s", 0)] = sampler(
             inputs[("color", "s", 0)], pix)
