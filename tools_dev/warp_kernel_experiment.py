@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--mono_stereo", action="store_true",
+                    help="M+S config: pose frames (-1, 1) + stereo; the "
+                         "pose warps always take the gather path, so "
+                         "pallas-vs-gather isolates the stereo warps' "
+                         "share")
     a = ap.parse_args()
     B = a.batch
 
@@ -32,7 +37,9 @@ def main():
                                                    synthetic_batch)
     from wavelet_monodepth_tpu.utils.config import KittiOptions
 
-    base = dict(use_stereo=True, frame_ids=(0,), use_depth_hints=True,
+    frames = (0, -1, 1) if a.mono_stereo else (0,)
+    base = dict(use_stereo=True, frame_ids=frames,
+                use_depth_hints=not a.mono_stereo,
                 use_wavelets=True, num_layers=18, height=a.height,
                 width=a.width, batch_size=B)
     configs = []

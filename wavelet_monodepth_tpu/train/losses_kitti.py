@@ -29,10 +29,12 @@ from ..ops.ssim import ssim as ssim_fn
 Array = jnp.ndarray
 
 # Width where the Pallas banded warp overtakes the XLA gather on a v5e
-# (same-window A/Bs, PERF.md round 3: gather wins 1.1-1.2x at 640,
-# banded wins 2.4-2.8x at 1024 — the gather's descriptor cost degrades
-# super-linearly in row width).
-BANDED_WARP_MIN_WIDTH = 832
+# (same-window A/Bs, PERF.md round 3: gather wins 1.3x at 640x192 and
+# 832x256, banded wins 2.2-2.8x at 1024x320 — the gather falls off a
+# cliff between 832 and 1024 wide, 1.5x the pixels for 3.7-3.9x the
+# step time). Conservative: banded only from the first width measured
+# to win.
+BANDED_WARP_MIN_WIDTH = 1024
 
 
 def use_banded_warp(opts) -> bool:

@@ -80,7 +80,7 @@ class KittiOptions:
     data_axis: int = 1                     # data-parallel mesh size
     bfloat16: bool = False                 # bf16 inference; bf16 mixed-precision training (f32 master params)
     native_decode: bool = False            # eval feed via the C++ threaded decoder (native/wmd_native.cpp; cv2 LANCZOS4 vs PIL LANCZOS differ ~1e-3/px)
-    stereo_warp_kernel: str = "auto"       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py): "auto" = on for width >= 832 (2.4-2.8x at 1024x320; the XLA gather degrades super-linearly in width), off below (gather wins 1.1-1.2x at 640x192) — PERF.md round 3. "on"/"off" force it.
+    stereo_warp_kernel: str = "auto"       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py): "auto" = on for width >= 1024 (2.2-2.8x at 1024x320; the XLA gather falls off a cliff past 832 wide), off below (gather wins ~1.3x at 640/832) — PERF.md round 3. "on"/"off" force it.
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
 
     def validate_for_training(self):
