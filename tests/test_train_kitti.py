@@ -217,3 +217,23 @@ def test_banded_warp_auto_selection_and_train_step():
     # argmin flips discretely on those ulps, so the loss only agrees to
     # ~1e-3 relative
     np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-3)
+
+
+def test_banded_warp_under_8_device_mesh():
+    """The banded Pallas warp (auto-default at width >= 1024) must
+    compose with the data-parallel mesh: batch-sharded inputs, psum'd
+    grads. (CPU interpret mode; real-chip GSPMD partitioning of the
+    Mosaic custom call is unverifiable on this 1-chip machine —
+    DEVIATIONS #30.)"""
+    assert len(jax.devices()) == 8
+    opts = dataclasses.replace(_stereo_hints_opts(), batch_size=8,
+                               stereo_warp_kernel="on")
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    m = mesh_lib.make_mesh(data=8)
+    state = mesh_lib.replicate(m, setup.init_state(jax.random.PRNGKey(0)))
+    batch = mesh_lib.shard_batch(m, synthetic_batch(opts, 8))
+    state, losses = setup.jit_train_step()(state, batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8

@@ -1,0 +1,91 @@
+"""Isolate the XLA gather cliff (PERF.md round 3b): the full train step
+pays 3.7-3.9x more gather time at 1024x320 than 832x256 (1.54x pixels).
+Measures grid_sample_border fwd and fwd+bwd alone across widths, plus
+row-chunked variants (split the output rows into C chunks, one take
+per chunk) to test whether operand/descriptor-batch size triggers the
+cliff. One process = one window.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+K1, K2 = 2, 16
+B = 6
+SHAPES = ((192, 640), (256, 832), (320, 1024))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.ops.image import grid_sample_border
+
+    def chunked_sampler(n_chunks):
+        def f(img, grid):
+            outs = [grid_sample_border(img, g)
+                    for g in jnp.split(grid, n_chunks, axis=1)]
+            return jnp.concatenate(outs, axis=1)
+        return f
+
+    samplers = {"flat": grid_sample_border,
+                "chunk2": chunked_sampler(2),
+                "chunk4": chunked_sampler(4)}
+
+    configs = []
+    for h, w in SHAPES:
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(B, h, w, 3).astype(np.float32))
+        # stereo-like grid: small x shifts, y = own row
+        gy = ((np.arange(h, dtype=np.float32) + 0.5) / h * 2 - 1)
+        gx = ((np.arange(w, dtype=np.float32) + 0.5) / w * 2 - 1)
+        grid = np.stack(np.meshgrid(gx, gy), axis=-1)[None].repeat(B, 0)
+        grid[..., 0] += rng.rand(B, h, w).astype(np.float32) * 0.06
+        grid = jnp.asarray(grid.astype(np.float32))
+
+        for name, sampler in samplers.items():
+            @functools.partial(jax.jit, static_argnames="k")
+            def fwd(img, grid, k, sampler=sampler):
+                def body(i, c):
+                    o = sampler(img + c * 1e-12, grid)
+                    return c + o.sum()
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            @functools.partial(jax.jit, static_argnames="k")
+            def fwdbwd(img, grid, k, sampler=sampler):
+                def loss(im, g):
+                    return sampler(im, g).sum()
+                def body(i, c):
+                    gi, gg = jax.grad(loss, argnums=(0, 1))(
+                        img + c * 1e-12, grid)
+                    return c + gi.sum() + gg.sum()
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            configs.append((f"{w}x{h}_{name}", fwd, fwdbwd, img, grid))
+
+    for tag, fwd, fwdbwd, img, grid in configs:
+        print(f"compiling {tag}...", flush=True)
+        for fn in (fwd, fwdbwd):
+            for k in (K1, K2):
+                float(fn(img, grid, k))
+
+    print("measuring (one window)...", flush=True)
+    for tag, fwd, fwdbwd, img, grid in configs:
+        for kind, fn in (("fwd", fwd), ("fwd+bwd", fwdbwd)):
+            def t(k):
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    float(fn(img, grid, k))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+            ms = 1e3 * (t(K2) - t(K1)) / (K2 - K1)
+            print(f"{tag} {kind}: {ms:8.3f} ms/warp", flush=True)
+
+
+if __name__ == "__main__":
+    main()
