@@ -21,6 +21,19 @@ SHAPES = ((192, 640), (256, 832), (320, 1024))
 
 
 def main():
+    global SHAPES
+    import argparse
+    ap = argparse.ArgumentParser()
+    # NOTE: chunk2 at 832x256 reproducibly CRASHES the TPU worker
+    # ("kernel fault") on this platform — run single shapes to contain
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--chunks", type=str, default="flat,chunk2,chunk4")
+    a = ap.parse_args()
+    if a.width:
+        SHAPES = ((a.height, a.width),)
+    wanted = set(a.chunks.split(","))
+
     import jax
     import jax.numpy as jnp
     from wavelet_monodepth_tpu.ops.image import grid_sample_border
@@ -34,7 +47,9 @@ def main():
 
     samplers = {"flat": grid_sample_border,
                 "chunk2": chunked_sampler(2),
-                "chunk4": chunked_sampler(4)}
+                "chunk4": chunked_sampler(4),
+                "chunk8": chunked_sampler(8)}
+    samplers = {k: v for k, v in samplers.items() if k in wanted}
 
     configs = []
     for h, w in SHAPES:
