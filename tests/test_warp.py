@@ -123,3 +123,34 @@ def test_banded_warp_border_clamp():
     got = grid_sample_border_banded(img, grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=0)
+
+
+def test_chunked_take_identity(monkeypatch):
+    """Above the gather-cliff operand bound (PERF.md "gather cliff"),
+    _bilinear_gather splits its flat take along batch. The split path
+    must be bit-identical to the single-take path — forward and both
+    gradients — including when the batch doesn't divide evenly."""
+    from wavelet_monodepth_tpu.ops import image as image_mod
+
+    rng = np.random.RandomState(11)
+    n, hh, ww = 5, 12, 30
+    img = jnp.asarray(rng.rand(n, hh, ww, 3).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.rand(n, 9, 17, 2).astype(np.float32) * 2.4 - 1.2))
+
+    def loss(sampler_img, sampler_grid):
+        return jnp.sum(jnp.sin(grid_sample_border(
+            sampler_img, sampler_grid) * 3.0))
+
+    flat = grid_sample_border(img, grid)
+    gi_f, gg_f = jax.grad(loss, argnums=(0, 1))(img, grid)
+
+    # force 2-images-per-take chunking (uneven tail chunk of 1)
+    per_img = hh * ww * 4 * 3 * 4
+    monkeypatch.setattr(image_mod, "_TAKE_OPERAND_MAX_BYTES", 2 * per_img)
+    chunked = grid_sample_border(img, grid)
+    gi_c, gg_c = jax.grad(loss, argnums=(0, 1))(img, grid)
+
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(flat))
+    np.testing.assert_array_equal(np.asarray(gi_c), np.asarray(gi_f))
+    np.testing.assert_array_equal(np.asarray(gg_c), np.asarray(gg_f))

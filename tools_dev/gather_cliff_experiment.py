@@ -21,17 +21,20 @@ SHAPES = ((192, 640), (256, 832), (320, 1024))
 
 
 def main():
-    global SHAPES
+    global SHAPES, B
     import argparse
     ap = argparse.ArgumentParser()
     # NOTE: chunk2 at 832x256 reproducibly CRASHES the TPU worker
     # ("kernel fault") on this platform — run single shapes to contain
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--chunks", type=str, default="flat,chunk2,chunk4")
     a = ap.parse_args()
     if a.width:
         SHAPES = ((a.height, a.width),)
+    if a.batch:
+        B = a.batch
     wanted = set(a.chunks.split(","))
 
     import jax
@@ -45,10 +48,73 @@ def main():
             return jnp.concatenate(outs, axis=1)
         return f
 
+    def bsplit_sampler(n_chunks):
+        # split along BATCH: shrinks the flat gather operand's row count
+        # (n*h*w -> n*h*w/n_chunks), testing the operand-size hypothesis
+        def f(img, grid):
+            outs = [grid_sample_border(im, g)
+                    for im, g in zip(jnp.split(img, n_chunks, axis=0),
+                                     jnp.split(grid, n_chunks, axis=0))]
+            return jnp.concatenate(outs, axis=0)
+        return f
+
+    def _coords(img, grid):
+        n, h, w, c = img.shape
+        x = ((grid[..., 0] + 1.0) * w - 1.0) * 0.5
+        y = ((grid[..., 1] + 1.0) * h - 1.0) * 0.5
+        y = jnp.clip(y, 0.0, h - 1.0)
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        wy = (y - y0)[..., None]
+        wx = (x - x0)[..., None]
+        return y0, x0, wy, wx
+
+    def _corner_stack(img):
+        right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        return jnp.concatenate([img, right, down, downright], axis=-1)
+
+    def bta_sampler(img, grid):
+        # batched take_along_axis: operand (n, h*w, 4c), per-sample rows
+        n, h, w, c = img.shape
+        y0, x0, wy, wx = _coords(img, grid)
+        cat = _corner_stack(img).reshape(n, h * w, 4 * c)
+        idx = (y0 * w + x0).reshape(n, -1, 1)
+        v = jnp.take_along_axis(cat, idx, axis=1)
+        v = v.reshape(y0.shape + (4, c))
+        top = v[..., 0, :] * (1 - wx) + v[..., 1, :] * wx
+        bot = v[..., 2, :] * (1 - wx) + v[..., 3, :] * wx
+        return top * (1 - wy) + bot * wy
+
+    def four_sampler(img, grid):
+        # four narrow takes (c-wide rows), no corner stacking: tests
+        # whether the 4c-wide stacked row triggers the cliff
+        n, h, w, c = img.shape
+        y0, x0, wy, wx = _coords(img, grid)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        flat = img.reshape(n * h * w, c)
+        base = jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
+
+        def take(yy, xx):
+            gidx = (base + yy * w + xx).reshape(-1)
+            return jnp.take(flat, gidx, axis=0).reshape(yy.shape + (c,))
+
+        top = take(y0, x0) * (1 - wx) + take(y0, x1) * wx
+        bot = take(y1, x0) * (1 - wx) + take(y1, x1) * wx
+        return top * (1 - wy) + bot * wy
+
     samplers = {"flat": grid_sample_border,
                 "chunk2": chunked_sampler(2),
                 "chunk4": chunked_sampler(4),
-                "chunk8": chunked_sampler(8)}
+                "chunk8": chunked_sampler(8),
+                "bsplit2": bsplit_sampler(2),
+                "bsplit3": bsplit_sampler(3),
+                "bsplit6": bsplit_sampler(6),
+                "bta": bta_sampler,
+                "four": four_sampler}
     samplers = {k: v for k, v in samplers.items() if k in wanted}
 
     configs = []

@@ -95,6 +95,16 @@ def avg_pool3_valid(x: jnp.ndarray) -> jnp.ndarray:
     return s / 9.0
 
 
+# XLA's TPU gather degrades superlinearly with flat-operand size: vs
+# the ~24-35 MB sweet spot, a 71 MB operand is 1.5x slower per byte and
+# 94 MB is 6.5x (PERF.md "gather cliff"; tools_dev/
+# gather_cliff_experiment.py). Splitting the take along batch so each
+# operand stays in the sweet spot restores full speed; going much
+# smaller also loses (11.8 MB takes were 2.7x slower than 35 MB ones),
+# so sub-threshold operands stay on the proven single-take path.
+_TAKE_OPERAND_MAX_BYTES = 36 * 1024 * 1024
+
+
 def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
                      x: jnp.ndarray) -> jnp.ndarray:
     """Gather img (N,H,W,C) at float pixel coords y/x (N,Ho,Wo) with border
@@ -127,11 +137,20 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     cat = jnp.concatenate([img, right, down, downright], axis=-1)
 
     # flat axis-0 take beats batched take_along_axis by ~1.3x at this
-    # shape (tools_dev/warp_gather_experiment.py)
-    flat = cat.reshape(n * h * w, 4 * c)
-    gidx = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
-            + y0 * w + x0).reshape(-1)
-    v = jnp.take(flat, gidx, axis=0).reshape(y0.shape + (4, c))
+    # shape (tools_dev/warp_gather_experiment.py); batch-chunked above
+    # the operand cliff (tools_dev/gather_cliff_experiment.py)
+    per_img_bytes = h * w * 4 * c * cat.dtype.itemsize
+    imgs_per_take = max(1, min(n, _TAKE_OPERAND_MAX_BYTES // max(
+        per_img_bytes, 1)))
+    parts = []
+    for s in range(0, n, imgs_per_take):
+        e = min(n, s + imgs_per_take)
+        flat = cat[s:e].reshape((e - s) * h * w, 4 * c)
+        gidx = (jnp.arange(e - s, dtype=jnp.int32)[:, None, None] * (h * w)
+                + y0[s:e] * w + x0[s:e]).reshape(-1)
+        parts.append(jnp.take(flat, gidx, axis=0))
+    v = (parts[0] if len(parts) == 1
+         else jnp.concatenate(parts, axis=0)).reshape(y0.shape + (4, c))
     v00, v01, v10, v11 = (v[..., 0, :], v[..., 1, :],
                           v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
