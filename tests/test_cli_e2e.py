@@ -122,6 +122,29 @@ def test_orbax_checkpoint_backend_end_to_end(mini_kitti,
     assert "abs_rel" in out and "Done!" in out
 
 
+def test_auto_resume_continues_from_latest(mini_kitti, trained_ckpt,
+                                           capsys):
+    """--auto_resume: with weights_0 already on disk (trained_ckpt),
+    rerunning the SAME command with --num_epochs 2 restores it, starts
+    at epoch 1, and writes weights_1 — crash/preemption recovery with
+    no manual --load_weights_folder/--start_epoch bookkeeping."""
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    log_dir = os.path.dirname(os.path.dirname(
+        os.path.dirname(trained_ckpt)))
+    train_main(["--data_path", mini_kitti, "--log_dir", log_dir,
+                "--model_name", "mini", "--split", "eigen_zhou",
+                "--height", "64", "--width", "96",
+                "--batch_size", "2", "--num_epochs", "2",
+                "--use_stereo", "--frame_ids", "0", "--use_wavelets",
+                "--log_frequency", "999", "--save_frequency", "1",
+                "--num_layers", "18", "--auto_resume"])
+    out = capsys.readouterr().out
+    assert "auto-resume: restoring" in out and "weights_0" in out
+    assert "continuing at epoch 1" in out
+    assert os.path.exists(os.path.join(
+        os.path.dirname(trained_ckpt), "weights_1", "state.msgpack"))
+
+
 def test_evaluate_dense_native_decode(mini_kitti, trained_ckpt, capsys):
     """--native_decode feeds eval via the C++ threaded decoder
     (native/wmd_native.cpp) instead of per-item PIL; metrics must stay

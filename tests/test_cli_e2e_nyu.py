@@ -70,6 +70,25 @@ def trained_nyu_ckpt(nyu_zip, tmp_path_factory):
     return folder
 
 
+def test_nyu_auto_resume_continues_from_latest(nyu_zip,
+                                               trained_nyu_ckpt, capsys):
+    """--auto_resume on the NYU CLI: restores weights_0 and trains only
+    the remaining epoch, writing weights_1."""
+    from wavelet_monodepth_tpu.tools.train_nyu import main as train_main
+    log_dir = os.path.dirname(os.path.dirname(
+        os.path.dirname(trained_nyu_ckpt)))
+    train_main(["--data_path", nyu_zip, "--log_dir", log_dir,
+                "--model_name", "mini", "--encoder_type",
+                "mobilenet_light", "--use_wavelets", "--use_224",
+                "--batch_size", "2", "--epochs", "2",
+                "--log_frequency", "999", "--auto_resume"])
+    out = capsys.readouterr().out
+    assert "auto-resume: restoring" in out and "weights_0" in out
+    assert os.path.exists(os.path.join(
+        os.path.dirname(trained_nyu_ckpt), "weights_1",
+        "state.msgpack"))
+
+
 def test_nyu_training_logs_coefficient_visuals(trained_nyu_ckpt):
     """`NYUv2/train.py:113-163` parity: pred AND gt wavelet-coefficient
     images + histograms reach the event files."""

@@ -59,8 +59,18 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     state = setup.init_state(rng)
     start_epoch = opts.start_epoch
-    if opts.load_weights_folder:
-        state = ckpt.load_checkpoint(opts.load_weights_folder, state)
+    resume_folder = opts.load_weights_folder
+    if opts.auto_resume and not resume_folder:
+        # crash/preemption recovery: pick up the newest weights_<epoch>
+        # for this model_name and continue after it
+        resume_folder = ckpt.latest_checkpoint(log_path)
+        if resume_folder:
+            start_epoch = int(
+                os.path.basename(resume_folder).split("_")[1]) + 1
+            print(f"auto-resume: restoring {resume_folder}, "
+                  f"continuing at epoch {start_epoch}")
+    if resume_folder:
+        state = ckpt.load_checkpoint(resume_folder, state)
 
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)

@@ -28,8 +28,19 @@ def main(argv=None):
         opts.data_path, is_224=opts.use_224)
     setup = NyuTrainSetup(opts)
     state = setup.init_state(jax.random.PRNGKey(0))
-    if opts.load_weights_folder:
-        state = ckpt.load_checkpoint(opts.load_weights_folder, state)
+    start_epoch = 0
+    resume_folder = opts.load_weights_folder
+    if opts.auto_resume and not resume_folder:
+        # crash/preemption recovery: pick up the newest weights_<epoch>
+        # for this model_name and continue after it
+        resume_folder = ckpt.latest_checkpoint(log_path)
+        if resume_folder:
+            start_epoch = int(
+                os.path.basename(resume_folder).split("_")[1]) + 1
+            print(f"auto-resume: restoring {resume_folder}, "
+                  f"continuing at epoch {start_epoch}")
+    if resume_folder:
+        state = ckpt.load_checkpoint(resume_folder, state)
 
     mesh = None
     if opts.data_axis > 1:
@@ -58,8 +69,8 @@ def main(argv=None):
                          num_workers=opts.num_workers, shuffle=False),
         sharding=sharding)
 
-    step = 0
-    for epoch in range(opts.epochs):
+    step = start_epoch * n_batches
+    for epoch in range(start_epoch, opts.epochs):
         t_end = time.time()
         for i in range(n_batches):
             batch = next(train_iter)   # already on device, sharded

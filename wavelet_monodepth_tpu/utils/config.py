@@ -82,6 +82,7 @@ class KittiOptions:
     native_decode: bool = False            # eval feed via the C++ threaded decoder (native/wmd_native.cpp; cv2 LANCZOS4 vs PIL LANCZOS differ ~1e-3/px)
     stereo_warp_kernel: str = "auto"       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py): "auto" = on for width >= 1024 (2.2-2.8x at 1024x320; the XLA gather falls off a cliff past 832 wide), off below (gather wins ~1.3x at 640/832) — PERF.md round 3. "on"/"off" force it.
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
+    auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
 
     def validate_for_training(self):
         """The reference's constructor asserts (`trainer.py:35-61`)."""
@@ -141,6 +142,7 @@ class NyuOptions:
     data_axis: int = 1
     bfloat16: bool = False
     checkpoint_backend: str = "msgpack"    # msgpack | orbax
+    auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (explicit --load_weights_folder wins)
 
 
 def save_opts(opts, path: str):
