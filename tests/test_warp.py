@@ -154,3 +154,18 @@ def test_chunked_take_identity(monkeypatch):
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(flat))
     np.testing.assert_array_equal(np.asarray(gi_c), np.asarray(gi_f))
     np.testing.assert_array_equal(np.asarray(gg_c), np.asarray(gg_f))
+
+
+def test_chunk_trigger_is_shape_driven():
+    """Program-structure pin for the gather-cliff fix: above the 36MB
+    operand bound the trace contains one take per batch chunk; below
+    it, exactly one (the proven single-take program, unchanged)."""
+    big = jnp.zeros((6, 320, 1024, 3), jnp.float32)      # 90 MB operand
+    small = jnp.zeros((6, 192, 640, 3), jnp.float32)     # 35.4 MB
+    grid = jnp.zeros((6, 2, 2, 2), jnp.float32)
+    n_big = str(jax.make_jaxpr(grid_sample_border)(big, grid)
+                ).count("name=_take")
+    n_small = str(jax.make_jaxpr(grid_sample_border)(small, grid)
+                  ).count("name=_take")
+    assert n_big == 3, n_big      # 2-image takes: 31.5 MB each
+    assert n_small == 1, n_small
