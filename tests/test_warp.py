@@ -2,6 +2,7 @@
 grid_sample_border on real stereo-projection grids — forward, image
 gradients, and depth gradients — plus the band contract itself."""
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,3 +170,40 @@ def test_chunk_trigger_is_shape_driven():
                   ).count("name=_take")
     assert n_big == 3, n_big      # 2-image takes: 31.5 MB each
     assert n_small == 1, n_small
+
+
+def test_chunked_take_under_data_mesh(capfd):
+    """Anti-cliff chunking under a 'data'-sharded batch: with
+    batch_shards set, takes are sized per shard and chunk boundaries
+    stay inside shards, so GSPMD partitions them without the
+    "involuntary full rematerialization" replication fallback that
+    shard-oblivious chunk boundaries provoke (observed: 2-image chunks
+    over 8 one-image shards replicate the operand). Exact vs the
+    unsharded oracle to SPMD fusion noise."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from wavelet_monodepth_tpu.ops import image as image_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.RandomState(13)
+    n, hh, ww = 16, 16, 48          # 2 images per shard
+    img = jnp.asarray(rng.rand(n, hh, ww, 3).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.rand(n, hh, ww, 2).astype(np.float32) * 2.2 - 1.1))
+    ref = np.asarray(grid_sample_border(img, grid))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    img_s = jax.device_put(img, sh)
+    grid_s = jax.device_put(grid, sh)
+
+    import unittest.mock as mock
+    per_img = hh * ww * 4 * 3 * 4
+    with mock.patch.object(image_mod, "_TAKE_OPERAND_MAX_BYTES",
+                           per_img):   # force 1-image takes per shard
+        out = jax.jit(functools.partial(grid_sample_border,
+                                        batch_shards=8))(img_s, grid_s)
+        np.asarray(out)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=0)

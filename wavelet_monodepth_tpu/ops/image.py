@@ -106,7 +106,7 @@ _TAKE_OPERAND_MAX_BYTES = 36 * 1024 * 1024
 
 
 def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
-                     x: jnp.ndarray) -> jnp.ndarray:
+                     x: jnp.ndarray, batch_shards: int = 1) -> jnp.ndarray:
     """Gather img (N,H,W,C) at float pixel coords y/x (N,Ho,Wo) with border
     clamping (grid_sample padding_mode='border').
 
@@ -117,7 +117,14 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     descriptor-rate-bound on TPU (device-traced: the 4-gather form was
     82% of the whole KITTI train step; see PERF.md "warp gathers"), so
     4x fewer descriptors at 4x the row width is a direct win. The
-    shifted copies are three cheap elementwise passes."""
+    shifted copies are three cheap elementwise passes.
+
+    batch_shards: data-parallel shard count of the batch axis (1 =
+    unsharded). The anti-cliff chunking below sizes takes by PER-SHARD
+    operand bytes and keeps chunk boundaries inside shards — a chunk
+    that straddles shard boundaries makes GSPMD replicate the operand
+    ("involuntary full rematerialization",
+    tests/test_warp.py::test_chunked_take_under_data_mesh)."""
     n, h, w, c = img.shape
     out_dt = jnp.promote_types(img.dtype, y.dtype)
     # index/weight math pinned to f32: bf16 can't represent integer
@@ -139,18 +146,50 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     # flat axis-0 take beats batched take_along_axis by ~1.3x at this
     # shape (tools_dev/warp_gather_experiment.py); batch-chunked above
     # the operand cliff (tools_dev/gather_cliff_experiment.py)
+    shards = batch_shards if (batch_shards > 1
+                              and n % batch_shards == 0) else 1
+    local_n = n // shards
     per_img_bytes = h * w * 4 * c * cat.dtype.itemsize
-    imgs_per_take = max(1, min(n, _TAKE_OPERAND_MAX_BYTES // max(
+    imgs_per_take = max(1, min(local_n, _TAKE_OPERAND_MAX_BYTES // max(
         per_img_bytes, 1)))
-    parts = []
-    for s in range(0, n, imgs_per_take):
-        e = min(n, s + imgs_per_take)
-        flat = cat[s:e].reshape((e - s) * h * w, 4 * c)
-        gidx = (jnp.arange(e - s, dtype=jnp.int32)[:, None, None] * (h * w)
-                + y0[s:e] * w + x0[s:e]).reshape(-1)
-        parts.append(jnp.take(flat, gidx, axis=0))
-    v = (parts[0] if len(parts) == 1
-         else jnp.concatenate(parts, axis=0)).reshape(y0.shape + (4, c))
+    if imgs_per_take >= local_n:
+        # single take per shard == the original single flat take (the
+        # per-device operand is below the cliff)
+        flat = cat.reshape(n * h * w, 4 * c)
+        gidx = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
+                + y0 * w + x0).reshape(-1)
+        v = jnp.take(flat, gidx, axis=0).reshape(y0.shape + (4, c))
+    elif shards == 1:
+        parts = []
+        for s in range(0, n, imgs_per_take):
+            e = min(n, s + imgs_per_take)
+            flat = cat[s:e].reshape((e - s) * h * w, 4 * c)
+            gidx = (jnp.arange(e - s, dtype=jnp.int32)[:, None, None]
+                    * (h * w) + y0[s:e] * w + x0[s:e]).reshape(-1)
+            parts.append(jnp.take(flat, gidx, axis=0))
+        v = jnp.concatenate(parts, axis=0).reshape(y0.shape + (4, c))
+    else:
+        # shard-aware chunking: view the batch as (shards, local_n) and
+        # slice the UNSHARDED local axis, so every chunk holds the same
+        # k images from every shard — balanced and communication-free
+        # under a 'data'-sharded batch
+        ho, wo = y0.shape[1], y0.shape[2]
+        catv = cat.reshape(shards, local_n, h, w, 4 * c)
+        y0v = y0.reshape(shards, local_n, ho, wo)
+        x0v = x0.reshape(shards, local_n, ho, wo)
+        parts = []
+        for s in range(0, local_n, imgs_per_take):
+            e = min(local_n, s + imgs_per_take)
+            k = e - s
+            flat = catv[:, s:e].reshape(shards * k * h * w, 4 * c)
+            gidx = (jnp.arange(shards * k,
+                               dtype=jnp.int32)[:, None, None] * (h * w)
+                    + (y0v[:, s:e] * w
+                       + x0v[:, s:e]).reshape(shards * k, ho, wo)
+                    ).reshape(-1)
+            parts.append(jnp.take(flat, gidx, axis=0)
+                         .reshape(shards, k, ho, wo, 4 * c))
+        v = jnp.concatenate(parts, axis=1).reshape(y0.shape + (4, c))
     v00, v01, v10, v11 = (v[..., 0, :], v[..., 1, :],
                           v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
@@ -158,13 +197,17 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     return (top * (1 - wy) + bot * wy).astype(out_dt)
 
 
-def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray,
+                       batch_shards: int = 1) -> jnp.ndarray:
     """torch F.grid_sample(img, grid, padding_mode='border',
     align_corners=False) equivalent, NHWC.
 
     Args:
       img:  (N, H, W, C).
       grid: (N, Ho, Wo, 2) normalized coords in [-1, 1], last dim (x, y).
+      batch_shards: data-parallel shard count of the batch axis (see
+        _bilinear_gather; pass opts.data_axis when the batch is sharded
+        over a mesh so anti-cliff chunking stays shard-aligned).
     Reference call site: `KITTI/trainer.py:371-374`.
 
     Torch's align_corners=False maps u in [-1,1] to pixel centres via
@@ -175,7 +218,7 @@ def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     v = grid[..., 1]
     x = ((u + 1.0) * w - 1.0) * 0.5
     y = ((v + 1.0) * h - 1.0) * 0.5
-    return _bilinear_gather(img, y, x)
+    return _bilinear_gather(img, y, x, batch_shards=batch_shards)
 
 
 def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray,

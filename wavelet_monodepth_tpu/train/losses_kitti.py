@@ -16,6 +16,7 @@ monodepth2 proper.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -71,6 +72,11 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
     under depth hints, ("color_depth_hint", "s", 0) to outputs."""
     H, W = opts.height, opts.width
     frame_ids = opts.all_frame_ids
+    # under a 'data' mesh the batch axis is sharded: the warp's
+    # anti-cliff chunking must size takes per shard (ops/image.py)
+    shards = getattr(opts, "data_axis", 1) or 1
+    gather_sampler = functools.partial(grid_sample_border,
+                                       batch_shards=shards)
     for scale in opts.loss_scales:
         disp = outputs[("disp", scale)]
         if opts.v1_multiscale:
@@ -91,10 +97,10 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
                 # the winner (see use_banded_warp) — PERF.md round 3.
                 sampler = (grid_sample_border_banded
                            if use_banded_warp(opts)
-                           else grid_sample_border)
+                           else gather_sampler)
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
-                sampler = grid_sample_border
+                sampler = gather_sampler
             cam_points = backproject_depth(
                 depth, inputs[("inv_K", source_scale)])
             pix = project_3d(cam_points, inputs[("K", source_scale)], T,
@@ -110,7 +116,7 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
                          depth.shape[1], depth.shape[2])
         sampler = (grid_sample_border_banded
                    if use_banded_warp(opts)
-                   else grid_sample_border)
+                   else gather_sampler)
         outputs[("color_depth_hint", "s", 0)] = sampler(
             inputs[("color", "s", 0)], pix)
     return outputs
