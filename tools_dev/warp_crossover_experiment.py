@@ -24,6 +24,16 @@ SHAPES = ((192, 640), (256, 832), (320, 1024))
 
 
 def main():
+    global SHAPES
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=0,
+                    help="restrict to one shape (pairs with --height)")
+    ap.add_argument("--height", type=int, default=0)
+    a = ap.parse_args()
+    if a.width:
+        SHAPES = ((a.height, a.width),)
+
     from wavelet_monodepth_tpu.train.kitti import (KittiTrainSetup,
                                                    synthetic_batch)
     from wavelet_monodepth_tpu.utils.config import KittiOptions
