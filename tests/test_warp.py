@@ -199,11 +199,25 @@ def test_chunked_take_under_data_mesh(capfd):
 
     import unittest.mock as mock
     per_img = hh * ww * 4 * 3 * 4
+    def loss(i, g):
+        return jnp.sum(jnp.sin(grid_sample_border(
+            i, g, batch_shards=8) * 3.0))
+
+    gg_ref = np.asarray(jax.grad(
+        lambda g: jnp.sum(jnp.sin(grid_sample_border(img, g) * 3.0))
+    )(grid))
+
     with mock.patch.object(image_mod, "_TAKE_OPERAND_MAX_BYTES",
                            per_img):   # force 1-image takes per shard
         out = jax.jit(functools.partial(grid_sample_border,
                                         batch_shards=8))(img_s, grid_s)
         np.asarray(out)
+        # the train step differentiates through the warp wrt the grid —
+        # the sharded chunked backward must stay replication-free too
+        gg = jax.jit(jax.grad(loss, argnums=1))(img_s, grid_s)
+        np.asarray(gg)
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err, err
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(gg), gg_ref, atol=1e-4,
+                               rtol=1e-4)
