@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import threading
 import time
 
 BATCH = 16
@@ -37,8 +39,57 @@ DENSITY = 0.10
 TH_CONT = 0.2            # round-1 continuity operating point
 K0, K1 = 1, 9
 
+# The TPU here is remote (relay-attached "axon" platform) and the relay
+# has gone down mid-session before; when it is down, jax.devices()
+# blocks FOREVER (not an exception), which would hang whoever runs this
+# script. Guard rails: a hard wall-clock watchdog on the whole run, and
+# a threaded probe on first device contact.
+WATCHDOG_S = 45 * 60          # full bench is ~10 min of remote compiles
+DEVICE_PROBE_S = 5 * 60       # first contact incl. backend init
+
+
+def _emit_error(reason: str) -> None:
+    print(json.dumps({
+        "metric": "kitti_r18_640x192_sparse_fps",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "extra": {"error": reason,
+                  "note": "TPU relay unreachable or bench overran its "
+                          "watchdog; no measurement was taken"},
+    }), flush=True)
+
+
+def _arm_watchdog() -> None:
+    def fire():
+        time.sleep(WATCHDOG_S)
+        _emit_error(f"watchdog: bench exceeded {WATCHDOG_S}s")
+        os._exit(2)
+    threading.Thread(target=fire, daemon=True).start()
+
+
+def _probe_devices() -> bool:
+    """True iff jax can enumerate a device within DEVICE_PROBE_S."""
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        if jax.devices():
+            ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(DEVICE_PROBE_S)
+    return ok.is_set()
+
 
 def main():
+    _arm_watchdog()
+    if not _probe_devices():
+        _emit_error(f"no device within {DEVICE_PROBE_S}s "
+                    "(TPU relay down?)")
+        return 2
+
     import jax
     import jax.numpy as jnp
 
