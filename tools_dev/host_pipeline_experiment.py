@@ -45,21 +45,74 @@ def main():
     ds = KittiRawDataset(root, files, H, W, [0, "s"],
                          target_scales=[0, 1, 2, 3], is_train=True)
 
+    # the default train-CLI feed since round 3c: uint8 ship, jitter on
+    # device, color_aug/other-frame pyramid trimmed to what the step reads
+    ds_u8 = KittiRawDataset(root, files, H, W, [0, "s"],
+                            target_scales=[0, 1, 2, 3], is_train=True,
+                            aug_scales=(0,), other_frame_scales=(0,),
+                            device_augment=True)
+
+    for label, d in (("f32", ds), ("u8", ds_u8)):
+        nbytes = sum(v.nbytes for v in d.item(0).values())
+        print(f"host->device payload [{label}]: "
+              f"{nbytes / 1e6:.2f} MB/item")
+
     ncpu = os.cpu_count()
     print(f"host cpus: {ncpu}")
     batch = 12
-    for nw in (0, 1, 2, 4, 8):
-        it = parallel_batches(ds, batch, num_workers=nw, shuffle=False)
-        next(it)                              # warm (thread pool spin-up)
-        t0 = time.time()
-        n = 0
-        for _ in range(6):
-            b = next(it)
-            n += b[("color", "0", 0)].shape[0]
-        dt = time.time() - t0
-        print(f"train feed num_workers={nw}: {n / dt:6.1f} imgs/s "
-              f"({1e3 * dt / n:6.1f} ms/img; stereo pair + 4-scale "
-              f"pyramid + jitter per img)")
+    for label, d in (("f32+host-jitter (reference-shaped)", ds),
+                     ("u8+device-augment (default)", ds_u8)):
+        key = ("color", "0", 0) if ("color", "0", 0) in d.item(0) \
+            else ("color_u8", "0", 0)
+        for nw in (0, 1, 2, 4, 8):
+            it = parallel_batches(d, batch, num_workers=nw, shuffle=False)
+            next(it)                          # warm (thread pool spin-up)
+            t0 = time.time()
+            n = 0
+            for _ in range(6):
+                b = next(it)
+                n += b[key].shape[0]
+            dt = time.time() - t0
+            print(f"train feed [{label}] num_workers={nw}: "
+                  f"{n / dt:6.1f} items/s ({1e3 * dt / n:6.1f} ms/item)")
+
+    # NYU: zip-decode + augment + crop/resize per item, f32 vs uint8 feed
+    import io
+    import zipfile
+    from wavelet_monodepth_tpu.data import nyu as nyu_data
+    zpath = os.path.join(root, "nyu_data.zip")
+    rng = np.random.RandomState(1)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        rows = []
+        for i in range(12):
+            img = Image.fromarray(rng.randint(0, 255, (480, 640, 3),
+                                              dtype=np.uint8))
+            dep = Image.fromarray((rng.rand(480, 640) * 255
+                                   ).astype(np.uint8))
+            ib, db = io.BytesIO(), io.BytesIO()
+            img.save(ib, "JPEG", quality=92)
+            dep.save(db, "PNG")
+            zf.writestr(f"data/img_{i}.jpg", ib.getvalue())
+            zf.writestr(f"data/dep_{i}.png", db.getvalue())
+            rows.append(f"data/img_{i}.jpg,data/dep_{i}.png")
+        zf.writestr("data/nyu2_train.csv", "\n".join(rows))
+    for label, u8 in (("f32", False), ("u8", True)):
+        train_ds, _ = nyu_data.get_training_testing_data(
+            zpath, uint8_feed=u8)
+        nbytes = sum(v.nbytes for v in train_ds.item(0).values())
+        print(f"NYU host->device payload [{label}]: "
+              f"{nbytes / 1e6:.2f} MB/item")
+        for nw in (0, 2, 4):
+            it = parallel_batches(train_ds, 4, num_workers=nw,
+                                  shuffle=False)
+            next(it)
+            t0 = time.time()
+            n = 0
+            for _ in range(6):
+                n += next(it)["image"].shape[0]
+            dt = time.time() - t0
+            print(f"NYU train feed [{label}] num_workers={nw}: "
+                  f"{n / dt:6.1f} items/s ({1e3 * dt / n:6.1f} ms/item)")
 
     if nl.available():
         paths = [os.path.join(root, DRIVE, "image_02", "data",

@@ -84,7 +84,21 @@ class KittiRawDataset:
                  is_train: bool = False, img_ext: str = ".jpg",
                  use_depth_hints: bool = False,
                  depth_hint_path: Optional[str] = None,
-                 dataset: str = "kitti", seed: int = 0):
+                 dataset: str = "kitti", seed: int = 0,
+                 aug_scales: Optional[Sequence[int]] = None,
+                 other_frame_scales: Optional[Sequence[int]] = None,
+                 device_augment: bool = False):
+        """`aug_scales` / `other_frame_scales` trim the item to what the
+        consumer reads: the train step encodes only scale-0 color_aug
+        and (without --v1_multiscale) samples non-center frames only at
+        scale 0 (`trainer.py:231-252,329-392`), so the CLIs pass (0,)
+        for both — the reference builds (and its trainer ignores) the
+        full pyramid for every frame. None keeps the reference-shaped
+        item. `device_augment=True` emits uint8 ("color_u8", fid, s)
+        frames plus a ("jitter",) param vector instead of float colors
+        and host-jittered color_aug; the jitted step casts and jitters
+        on device (ops/augment.expand_batch) — 4x fewer host->device
+        bytes and no host jitter/float-conversion cost."""
         self.data_path = data_path
         self.filenames = list(filenames)
         self.height = height
@@ -98,6 +112,12 @@ class KittiRawDataset:
                                 os.path.join(data_path, "depth_hints"))
         self.dataset = dataset
         self.rng = random.Random(seed)
+        self.aug_scales = (list(target_scales) if aug_scales is None
+                           else list(aug_scales))
+        self.other_frame_scales = (
+            list(target_scales) if other_frame_scales is None
+            else list(other_frame_scales))
+        self.device_augment = device_augment
 
     def __len__(self):
         return len(self.filenames)
@@ -178,15 +198,31 @@ class KittiRawDataset:
 
         jit = _jitter_params(rng) if do_aug else None
         for i, img in raw.items():
+            frame_scales = (self.target_scales if str(i) == "0"
+                            else self.other_frame_scales)
             prev = img
             for s in self.target_scales:
+                if s > max(frame_scales):
+                    break                      # chain ends; rest unread
                 w, h = self.width // 2 ** s, self.height // 2 ** s
                 prev = prev.resize((w, h), Image.LANCZOS)
+                if s not in frame_scales:
+                    continue                   # chain passes through
+                if self.device_augment:
+                    inputs[("color_u8", str(i), s)] = np.asarray(
+                        prev, np.uint8)
+                    continue
                 arr = np.asarray(prev, np.float32) / 255.0
                 inputs[("color", str(i), s)] = arr
-                aug = _apply_jitter(prev, jit) if jit else prev
-                inputs[("color_aug", str(i), s)] = (
-                    np.asarray(aug, np.float32) / 255.0)
+                if s in self.aug_scales:
+                    aug = _apply_jitter(prev, jit) if jit else prev
+                    inputs[("color_aug", str(i), s)] = (
+                        np.asarray(aug, np.float32) / 255.0)
+        if self.device_augment:
+            inputs[("jitter",)] = np.asarray(
+                [jit["brightness"], jit["contrast"], jit["saturation"],
+                 jit["hue"]] if jit else [1.0, 1.0, 1.0, 0.0],
+                np.float32)
 
         for s in self.target_scales:
             K = K_NORM.copy()
@@ -233,6 +269,10 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     (The reference's DataLoader worker pool is process-parallel JPEG
     decode; on TPU hosts this is typically overlapped with device steps —
     use tools/prefetch.to_device for double buffering.)"""
+    if drop_last and len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size={batch_size} "
+            f"with drop_last: no batch can ever be yielded")
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     while True:

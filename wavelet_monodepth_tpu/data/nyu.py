@@ -52,7 +52,15 @@ class NyuDepthDataset:
     def __init__(self, data: dict, pairs, is_train: bool = True,
                  is_test: bool = False, is_224: bool = False,
                  gamma: float = 0.8, channel_swap_p: float = 0.1,
-                 seed: int = 0):
+                 seed: int = 0, uint8_feed: bool = False):
+        """`uint8_feed=True` ships post-resize uint8 arrays and leaves
+        the float cast + centimetre clamp to the device (the jitted step
+        calls ops/augment.expand_nyu) — 4x fewer host->device bytes and
+        no host float conversion, bit-identical to the float feed (all
+        augmentations already run on uint8 pixels; the reference also
+        converts to float only after crop/resize, `data.py:107-140`).
+        Test-transform items (is_test) and non-8-bit depth maps fall
+        back to the float path per array."""
         self.data = data
         self.pairs = pairs
         self.is_train = is_train
@@ -61,6 +69,7 @@ class NyuDepthDataset:
         self.gamma = gamma
         self.channel_swap_p = channel_swap_p
         self.rng = random.Random(seed)
+        self.uint8_feed = uint8_feed
 
     def __len__(self):
         return len(self.pairs)
@@ -86,9 +95,13 @@ class NyuDepthDataset:
                 image = Image.fromarray(arr[..., list(perm)])
             if self.gamma:
                 g = rng.uniform(1.0 / self.gamma, self.gamma)
-                arr = np.asarray(image, np.float32) / 255.0
-                image = Image.fromarray(
-                    (255.0 * np.power(arr, g)).astype(np.uint8))
+                # the reference's float-pow-per-pixel (`data.py:205-214`)
+                # is pointwise on uint8 values, so a 256-entry LUT is
+                # bit-identical and ~30x cheaper on the host
+                lut = (255.0 * np.power(
+                    np.arange(256, dtype=np.float32) / 255.0,
+                    np.float32(g))).astype(np.uint8)
+                image = Image.fromarray(lut[np.asarray(image)])
 
         crop = 16
         image = image.crop((crop, crop, 640 - crop, 480 - crop))
@@ -100,6 +113,15 @@ class NyuDepthDataset:
             image = image.resize((640, 480))
             depth = depth.resize((320, 240))
 
+        if self.uint8_feed and not self.is_test:
+            image_arr = np.asarray(image, np.uint8)
+            d = np.asarray(depth)
+            if d.dtype == np.uint8:
+                depth_arr = d[..., None] if d.ndim == 2 else d
+            else:   # 16-bit depth png: clamp on the host as usual
+                depth_arr = np.clip(_to_float(depth) * 1000.0,
+                                    10.0, 1000.0)
+            return {"image": image_arr, "depth": depth_arr}
         image_arr = _to_float(image)
         depth_arr = _to_float(depth)
         if self.is_test:
@@ -111,20 +133,24 @@ class NyuDepthDataset:
 
 
 def get_training_testing_data(zip_path: str, is_224: bool = False,
-                              seed: int = 0):
+                              seed: int = 0, uint8_feed: bool = False):
     """`getTrainingTestingData` (`data.py:216-223`) minus the DataLoader:
     returns (train_dataset, test_dataset) over the same nyu2_train list,
     matching the reference."""
     data, pairs = load_zip_to_mem(zip_path)
     train = NyuDepthDataset(data, pairs, is_train=True, is_224=is_224,
-                            seed=seed)
+                            seed=seed, uint8_feed=uint8_feed)
     test = NyuDepthDataset(data, pairs, is_train=False, is_224=is_224,
-                           seed=seed)
+                           seed=seed, uint8_feed=uint8_feed)
     return train, test
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    drop_last: bool = True, seed: int = 0, epochs=None):
+    if drop_last and len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size={batch_size} "
+            f"with drop_last: no batch can ever be yielded")
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     epoch = 0

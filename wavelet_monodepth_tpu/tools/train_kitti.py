@@ -38,18 +38,22 @@ def main(argv=None):
     img_ext = ".png" if opts.png else ".jpg"
 
     frame_idxs = list(opts.all_frame_ids)
+    # the step consumes color_aug only at scale 0 and (without
+    # --v1_multiscale) samples non-center frames only at scale 0 —
+    # don't build/ship what nothing reads (data/kitti.py item trimming)
+    feed_kw = dict(
+        is_train=True, img_ext=img_ext,
+        use_depth_hints=opts.use_depth_hints,
+        depth_hint_path=opts.depth_hint_path, dataset=opts.dataset,
+        aug_scales=(0,),
+        other_frame_scales=None if opts.v1_multiscale else (0,),
+        device_augment=not opts.host_augment)
     train_ds = kitti_data.KittiRawDataset(
         opts.data_path, train_files, opts.height, opts.width, frame_idxs,
-        list(opts.scales), is_train=True, img_ext=img_ext,
-        use_depth_hints=opts.use_depth_hints,
-        depth_hint_path=opts.depth_hint_path,
-        dataset=opts.dataset)
+        list(opts.scales), **feed_kw)
     val_ds = kitti_data.KittiRawDataset(
         opts.data_path, val_files, opts.height, opts.width, frame_idxs,
-        list(opts.scales), is_train=False, img_ext=img_ext,
-        use_depth_hints=opts.use_depth_hints,
-        depth_hint_path=opts.depth_hint_path,
-        dataset=opts.dataset)
+        list(opts.scales), **dict(feed_kw, is_train=False))
 
     steps_per_epoch = len(train_ds) // opts.batch_size
     setup = KittiTrainSetup(opts, steps_per_epoch=steps_per_epoch)

@@ -25,7 +25,8 @@ def main(argv=None):
     log_path = os.path.join(opts.log_dir, opts.model_name)
 
     train_ds, test_ds = nyu_data.get_training_testing_data(
-        opts.data_path, is_224=opts.use_224)
+        opts.data_path, is_224=opts.use_224,
+        uint8_feed=not opts.float_feed)
     setup = NyuTrainSetup(opts)
     state = setup.init_state(jax.random.PRNGKey(0))
     start_epoch = 0
@@ -81,6 +82,7 @@ def main(argv=None):
                 print(f"Epoch: [{epoch}][{i}/{n_batches}]\t"
                       f"Time {bt:.3f}\t Loss {float(losses['loss']):.4f}")
             if i % opts.log_frequency == 0:
+                from ..ops import augment
                 from ..ops.wavelets import haar_dwt_J
                 from ..train.nyu import depth_norm
                 logger.scalars("train",
@@ -88,16 +90,21 @@ def main(argv=None):
                                step)
                 # pred-vs-GT coefficient images + histograms
                 # (`NYUv2/train.py:113-163`): re-forward through the
-                # eval step at log time only
-                depth_n = (depth_norm(depth) if opts.disparity else depth)
+                # eval step at log time only. The uint8 feed expands
+                # here on the host side for the visuals; eval_fn
+                # expands internally.
+                img_f, dep_f = augment.expand_nyu(image, depth, jnp)
+                depth_n = (depth_norm(dep_f) if opts.disparity else dep_f)
                 toutputs = eval_fn(state, image)
                 gt_wav = (haar_dwt_J(depth_n, 4) if opts.use_wavelets
                           else None)
-                logger.log_nyu_visuals("train", image, depth_n, toutputs,
+                logger.log_nyu_visuals("train", img_f, depth_n, toutputs,
                                        gt_wav, step)
                 vbatch = next(val_iter)
                 outputs = eval_fn(state, jnp.asarray(vbatch["image"]))
-                vdepth = jnp.asarray(vbatch["depth"])
+                vimg_f, vdepth = augment.expand_nyu(
+                    jnp.asarray(vbatch["image"]),
+                    jnp.asarray(vbatch["depth"]), jnp)
                 vdepth_n = (depth_norm(vdepth) if opts.disparity
                             else vdepth)
                 vlosses = setup.compute_losses(outputs, vdepth_n)
@@ -105,7 +112,7 @@ def main(argv=None):
                                {k: float(v) for k, v in vlosses.items()},
                                step)
                 logger.log_nyu_visuals(
-                    "val", vbatch["image"], vdepth_n, outputs,
+                    "val", vimg_f, vdepth_n, outputs,
                     haar_dwt_J(vdepth_n, 4) if opts.use_wavelets
                     else None, step)
             t_end = time.time()

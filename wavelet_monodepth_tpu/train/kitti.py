@@ -21,6 +21,7 @@ import optax
 
 from ..models.factory import make_depth_decoder, make_depth_encoder, \
     make_posenet
+from ..ops import augment
 from ..ops.geometry import transformation_from_parameters
 from ..utils.config import KittiOptions
 from . import losses_kitti
@@ -207,6 +208,11 @@ class KittiTrainSetup:
         from ..utils.precision import cast_floats
 
         def train_step(state: TrainState, inputs: Dict, rng: jax.Array):
+            # uint8 feed + on-device jitter (data/kitti.py
+            # device_augment): cast/augment inside the jit so XLA fuses
+            # it into the input pipeline; no-op on float batches
+            inputs = augment.expand_batch(inputs, jnp)
+
             def loss_fn(params):
                 if mixed_precision:
                     params = cast_floats(params, jnp.bfloat16)
@@ -241,6 +247,7 @@ class KittiTrainSetup:
 
     def make_eval_step(self):
         def eval_step(state: TrainState, inputs: Dict, rng: jax.Array):
+            inputs = augment.expand_batch(inputs, jnp)
             outputs, losses, _ = self.forward(
                 state.params, state.batch_stats, inputs, rng, train=False)
             return outputs, losses

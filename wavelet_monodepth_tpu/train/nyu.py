@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.factory import make_nyu_decoder, make_nyu_encoder
+from ..ops import augment
 from ..ops.image import resize_bilinear
 from ..ops.wavelets import haar_dwt_J
 from ..utils.config import NyuOptions
@@ -109,6 +110,9 @@ class NyuTrainSetup:
         from ..utils.precision import cast_floats
 
         def step(state: NyuTrainState, image: Array, depth: Array):
+            # uint8 feed (data/nyu.py uint8_feed): cast + centimetre
+            # clamp inside the jit; bit-identical no-op on float feeds
+            image, depth = augment.expand_nyu(image, depth, jnp)
             depth_n = (depth_norm(depth) if self.opts.disparity else depth)
 
             def loss_fn(params):
@@ -145,6 +149,7 @@ class NyuTrainSetup:
 
     def make_eval_step(self):
         def step(state: NyuTrainState, image: Array):
+            image = augment.expand_nyu(image, xp=jnp)
             outputs, _ = self.forward(state.params, state.batch_stats,
                                       image, train=False)
             return outputs

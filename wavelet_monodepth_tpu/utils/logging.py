@@ -75,6 +75,12 @@ class SummaryLogger:
                 if key in inputs:
                     self.image(mode, f"color_{fid}_0/{j}",
                                _to_np(inputs[key][j]), step)
+                elif ("color_u8", str(fid), 0) in inputs:
+                    # uint8 device-augment feed (data/kitti.py)
+                    self.image(mode, f"color_{fid}_0/{j}",
+                               _to_np(inputs[("color_u8", str(fid),
+                                              0)][j]).astype("float32")
+                               / 255.0, step)
                 okey = ("color", str(fid), 0)
                 if okey in outputs:
                     self.image(mode, f"color_pred_{fid}_0/{j}",
