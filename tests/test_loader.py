@@ -63,3 +63,30 @@ def test_loader_raises_on_bad_item(mini_tree):
     with pytest.raises(FileNotFoundError):
         list(parallel_batches(ds, 2, num_workers=2, epochs=1,
                               shuffle=False))
+
+
+def test_zero_batch_stream_raises():
+    """A dataset smaller than batch_size with drop_last used to make
+    the epochs=None stream spin forever yielding nothing (hanging the
+    train CLIs on a too-small val split) — now a loud ValueError from
+    every loader."""
+    import pytest
+    from wavelet_monodepth_tpu.data import kitti as kitti_data
+    from wavelet_monodepth_tpu.data import nyu as nyu_data
+    from wavelet_monodepth_tpu.data.loader import parallel_batches
+
+    class OneItem:
+        def __len__(self):
+            return 1
+
+        def item(self, i, rng=None):
+            return {"x": np.zeros(3, np.float32)}
+
+        __getitem__ = item
+
+    for it in (parallel_batches(OneItem(), 2, num_workers=0),
+               parallel_batches(OneItem(), 2, num_workers=2),
+               kitti_data.batch_iterator(OneItem(), 2),
+               nyu_data.batch_iterator(OneItem(), 2)):
+        with pytest.raises(ValueError, match="no batch can ever"):
+            next(it)

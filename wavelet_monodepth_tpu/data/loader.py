@@ -57,6 +57,13 @@ def parallel_batches(dataset, batch_size: int, num_workers: int = 4,
             "parallel loading needs dataset.item(index, rng) — plain "
             "__getitem__ draws from a shared RNG and would race across "
             "workers; pass num_workers=0 for such datasets")
+    if drop_last and len(dataset) < batch_size:
+        # an epoch would yield ZERO batches and the epochs=None stream
+        # would spin forever producing nothing (a too-small val split
+        # used to hang the train CLIs here)
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size={batch_size} "
+            f"with drop_last: no batch can ever be yielded")
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
 
