@@ -86,3 +86,23 @@ def test_export_nyu_family(tmp_path):
     via = rebuilt.call(enc_vars, dec_vars, img)
     np.testing.assert_allclose(np.asarray(direct[0]), np.asarray(via[0]),
                                atol=1e-5, rtol=0)
+
+
+def test_export_uint8_input(tmp_path):
+    """--uint8_input artifact: takes uint8 images, matches the f32
+    artifact fed the same pixels/255 exactly."""
+    args = _args(tmp_path, uint8_input=True)
+    exported, enc_vars, dec_vars = es.export_artifact(args)
+    with open(args.out + ".json") as f:
+        assert json.load(f)["input_dtype"] == "uint8"
+    with open(args.out + ".stablehlo", "rb") as f:
+        rebuilt = jax.export.deserialize(f.read())
+    img_u8 = jax.random.randint(jax.random.PRNGKey(5), (1, 64, 96, 3),
+                                0, 256, jnp.int32).astype(jnp.uint8)
+    via = rebuilt.call(enc_vars, dec_vars, img_u8)
+    forward, _, _ = es.build(_args(tmp_path))
+    direct = forward(enc_vars, dec_vars,
+                     img_u8.astype(jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via),
+                               atol=1e-5, rtol=0)
+    es.verify_artifact(args.out, enc_vars, dec_vars, args)

@@ -52,6 +52,10 @@ def parse_args(argv=None):
                    help="export the masked-sparse decode at --threshold")
     p.add_argument("--threshold", type=float, default=0.1)
     p.add_argument("--bfloat16", action="store_true")
+    p.add_argument("--uint8_input", action="store_true",
+                   help="artifact takes uint8 [0,255] images and casts "
+                        "to float inside the program — 4x smaller "
+                        "client->server image payloads, same outputs")
     p.add_argument("--verify", action="store_true",
                    help="deserialize the artifact and check it matches "
                         "the direct forward on random input")
@@ -118,6 +122,9 @@ def build(args):
     thresh = args.threshold if args.use_sparse else None
 
     def forward(enc_vars, dec_vars, image):
+        if getattr(args, "uint8_input", False):
+            # same cast the uint8 train feed uses (ops/augment.py)
+            image = image.astype(jnp.float32) / 255.0
         if args.bfloat16:
             image = image.astype(jnp.bfloat16)
         feats = encoder.apply(enc_vars, image)
@@ -138,8 +145,10 @@ def export_artifact(args):
     import jax.numpy as jnp
 
     forward, enc_vars, dec_vars = build(args)
+    in_dtype = (jnp.uint8 if getattr(args, "uint8_input", False)
+                else jnp.float32)
     img_spec = jax.ShapeDtypeStruct(
-        (args.batch, args.height, args.width, 3), jnp.float32)
+        (args.batch, args.height, args.width, 3), in_dtype)
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
         (enc_vars, dec_vars))
@@ -153,6 +162,8 @@ def export_artifact(args):
                   else f"nyu_{args.encoder_type}_wavelet"),
         "batch": args.batch, "height": args.height, "width": args.width,
         "dtype": "bfloat16" if args.bfloat16 else "float32",
+        "input_dtype": ("uint8" if getattr(args, "uint8_input", False)
+                        else "float32"),
         "sparse_threshold": args.threshold if args.use_sparse else None,
         "platforms": list(exported.platforms),
         "outputs": (["disp_0", "total_ops"] if args.use_sparse
@@ -181,8 +192,12 @@ def verify_artifact(path_prefix, enc_vars, dec_vars, args):
     with open(path_prefix + ".stablehlo", "rb") as f:
         rebuilt = jax.export.deserialize(f.read())
     rng = jax.random.PRNGKey(1)
-    img = jax.random.uniform(
-        rng, (args.batch, args.height, args.width, 3), jnp.float32)
+    shape = (args.batch, args.height, args.width, 3)
+    if getattr(args, "uint8_input", False):
+        img = jax.random.randint(rng, shape, 0, 256, jnp.int32
+                                 ).astype(jnp.uint8)
+    else:
+        img = jax.random.uniform(rng, shape, jnp.float32)
     out = rebuilt.call(enc_vars, dec_vars, img)
     disp = out[0] if isinstance(out, tuple) else out
     disp = np.asarray(disp)
