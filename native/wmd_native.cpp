@@ -69,6 +69,45 @@ int wmd_decode_resize_batch(const char** paths, int n, int height,
   return failed.load();
 }
 
+// Same decode+resize, but emits the resized uint8 NHWC batch directly
+// (no float conversion): the uint8 eval/serving feed ships 4x fewer
+// bytes and the device casts to [0,1] float itself. The float variant
+// above equals this output * (1/255) exactly (convertTo happens after
+// the uint8 resize).
+int wmd_decode_resize_batch_u8(const char** paths, int n, int height,
+                               int width, const int* flip,
+                               unsigned char* out, int num_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) return;
+      cv::Mat img = cv::imread(paths[i], cv::IMREAD_COLOR);
+      if (img.empty()) {
+        failed.store(i + 1);
+        return;
+      }
+      cv::cvtColor(img, img, cv::COLOR_BGR2RGB);
+      cv::Mat resized;
+      cv::resize(img, resized, cv::Size(width, height), 0, 0,
+                 cv::INTER_LANCZOS4);
+      if (flip && flip[i]) {
+        cv::flip(resized, resized, 1);
+      }
+      std::memcpy(out + static_cast<size_t>(i) * height * width * 3,
+                  resized.ptr<unsigned char>(),
+                  static_cast<size_t>(height) * width * 3);
+    }
+  };
+  int t = std::max(1, num_threads);
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failed.load();
+}
+
 // Nearest-neighbour half-scale pyramid from a float32 NHW3 image:
 // writes `levels` downscaled copies (each half the previous) into outs,
 // mirroring the multi-scale pyramid of `mono_dataset.py:111-116` but

@@ -235,3 +235,27 @@ def _tiny_nyu_like_forward():
         d = 50.0 + 400.0 * jnp.mean(x, axis=-1, keepdims=True)
         return {("disp", 0): d}
     return forward
+
+
+def test_eval_forward_uint8_feed_matches_f32():
+    """evaluate_depth's jitted forward: a uint8 batch equals the f32
+    batch of the same pixels/255 — f32 exactly, bf16 wrapper to f32
+    output tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.tools.evaluate_depth import _load_forward
+    from wavelet_monodepth_tpu.utils.config import KittiOptions
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, 64, 96, 3), np.uint8)
+    for bf16 in (False, True):
+        opts = KittiOptions(height=64, width=96, use_wavelets=True,
+                            bfloat16=bf16)
+        forward = _load_forward(opts, None)
+        out_u8 = forward(jnp.asarray(u8))
+        out_f32 = forward(jnp.asarray(u8, jnp.float32) / 255.0)
+        a = np.asarray(out_u8[("disp", 0)])
+        b = np.asarray(out_f32[("disp", 0)])
+        # not bit-equal even at f32: inside the jit XLA reassociates
+        # the /255 into the folded stem normalization (1-ulp scale)
+        np.testing.assert_allclose(a, b, atol=2e-3 if bf16 else 1e-5)

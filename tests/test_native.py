@@ -88,3 +88,23 @@ def test_build_pyramid_shapes_and_values():
                                          (8, 12, 3)]
     want = cv2.resize(img, (48, 32), interpolation=cv2.INTER_LANCZOS4)
     np.testing.assert_allclose(levels[0], want, atol=1e-5)
+
+
+def test_decode_resize_batch_u8_matches_float(tmp_path):
+    """The uint8 decode is the same resized pixels the float variant
+    converts: f32 == u8 * (1/255) to 1 ulp (convertTo runs after the
+    uint8 resize in wmd_native.cpp)."""
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(2):
+        arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    u8 = native_loader.decode_resize_batch_u8(paths, 48, 64,
+                                              flips=[False, True])
+    f32 = native_loader.decode_resize_batch(paths, 48, 64,
+                                            flips=[False, True])
+    assert u8.dtype == np.uint8
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32,
+                               atol=1e-7)

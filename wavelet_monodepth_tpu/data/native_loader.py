@@ -35,6 +35,11 @@ def load_library(path: Optional[str] = None):
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.wmd_decode_resize_batch_u8.restype = ctypes.c_int
+    lib.wmd_decode_resize_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
     lib.wmd_velodyne_to_depth.restype = None
     lib.wmd_velodyne_to_depth.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -70,6 +75,29 @@ def decode_resize_batch(paths: Sequence[str], height: int, width: int,
         c_paths, n, height, width,
         flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+    if rc != 0:
+        raise IOError(f"failed to load image: {paths[rc - 1]}")
+    return out
+
+
+def decode_resize_batch_u8(paths: Sequence[str], height: int,
+                           width: int,
+                           flips: Optional[Sequence[bool]] = None,
+                           num_threads: int = 4) -> np.ndarray:
+    """Decode + Lanczos-resize to uint8 NHWC [0,255] — the uint8 eval
+    feed (the float variant equals this * 1/255 exactly; the device
+    casts instead, shipping 4x fewer bytes)."""
+    lib = load_library()
+    n = len(paths)
+    out = np.empty((n, height, width, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    flips_arr = np.asarray(
+        [1 if (flips is not None and flips[i]) else 0 for i in range(n)],
+        np.int32)
+    rc = lib.wmd_decode_resize_batch_u8(
+        c_paths, n, height, width,
+        flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), num_threads)
     if rc != 0:
         raise IOError(f"failed to load image: {paths[rc - 1]}")
     return out

@@ -59,7 +59,10 @@ def predict_disps(forward: Callable, images: Iterable[np.ndarray],
     for img in images:
         if img.ndim == 3:
             img = img[None]
-        x = jnp.asarray(img, jnp.float32)
+        # uint8 feeds ship as-is (the jitted forward casts on device);
+        # anything else normalizes to f32 as before
+        x = (jnp.asarray(img) if img.dtype == np.uint8
+             else jnp.asarray(img, jnp.float32))
         if sparse_threshold is not None:
             out = forward(x, sparse_threshold)
             d, _ = disp_to_depth(out[("disp", 0)], min_depth, max_depth)

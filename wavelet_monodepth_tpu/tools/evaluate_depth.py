@@ -62,6 +62,12 @@ def _load_forward(opts, torch_model_path):
 
     @functools.partial(jax.jit, static_argnames=("thresh",))
     def forward(image, thresh=None):
+        if image.dtype == jnp.uint8:
+            # uint8 eval feed: the cast rides the jit (4x smaller
+            # host->device transfers; see ops/augment.py)
+            image = image.astype(jnp.float32) / 255.0
+            if opts.bfloat16:
+                image = image.astype(jnp.bfloat16)
         feats = encoder.apply(enc_vars, image)
         if thresh is None or not opts.use_wavelets:
             return decoder.apply(dec_vars, feats)
@@ -92,11 +98,14 @@ def main(argv=None):
             os.environ.get("WMD_TORCH_MODEL_PATH")
         forward = _load_forward(opts, torch_model_path)
 
-        # eval consumes scale 0 only — skip the 4-scale pyramid work
+        # eval consumes scale 0 only — skip the 4-scale pyramid work.
+        # Default feed is uint8 (the jitted forward casts on device —
+        # 4x smaller transfers); --host_augment restores the f32 feed.
+        u8 = not opts.host_augment
         ds = kitti_data.KittiRawDataset(
             opts.data_path, files, opts.height, opts.width, [0],
             target_scales=[0], is_train=False,
-            img_ext=".png" if opts.png else ".jpg")
+            img_ext=".png" if opts.png else ".jpg", device_augment=u8)
 
         def images():
             # dense AND sparse modes batch for throughput (per-image
@@ -115,14 +124,17 @@ def main(argv=None):
                     fidx = int(parts[1]) if len(parts) == 3 else 0
                     side = parts[2] if len(parts) == 3 else None
                     paths.append(ds.get_image_path(folder, fidx, side))
+                decode = (nl.decode_resize_batch_u8 if u8
+                          else nl.decode_resize_batch)
                 for b0 in range(0, len(paths), bs):
-                    yield nl.decode_resize_batch(
+                    yield decode(
                         paths[b0:b0 + bs], opts.height, opts.width,
                         num_threads=max(1, opts.num_workers))
                 return
+            key = ("color_u8", "0", 0) if u8 else ("color", "0", 0)
             buf = []
             for i in range(len(ds)):
-                buf.append(ds[i][("color", "0", 0)])
+                buf.append(ds[i][key])
                 if len(buf) == bs:
                     yield np.stack(buf)
                     buf = []

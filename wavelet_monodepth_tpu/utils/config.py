@@ -83,7 +83,7 @@ class KittiOptions:
     stereo_warp_kernel: str = "auto"       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py): "auto" = on for width >= 1024 (2.2-2.8x at 1024x320; the XLA gather falls off a cliff past 832 wide), off below (gather wins ~1.3x at 640/832) — PERF.md round 3. "on"/"off" force it.
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
-    host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item
+    host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
 
     def validate_for_training(self):
         """The reference's constructor asserts (`trainer.py:35-61`)."""

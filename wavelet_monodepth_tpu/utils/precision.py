@@ -25,6 +25,8 @@ def wrap_forward_bf16(forward):
     """Wrap a forward(image, ...) whose params are already bf16 so the
     input is cast to bf16 and all float outputs come back as f32."""
     def wrapped(image, *args, **kwargs):
-        out = forward(image.astype(jnp.bfloat16), *args, **kwargs)
+        if image.dtype != jnp.uint8:   # u8 feeds scale inside the jit
+            image = image.astype(jnp.bfloat16)
+        out = forward(image, *args, **kwargs)
         return cast_floats(out, jnp.float32)
     return wrapped
