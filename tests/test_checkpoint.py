@@ -114,3 +114,21 @@ def test_pose_eval_ate():
     pred_scaled[:, 0, 3] *= 3.0
     mean_ate2, _ = pose_eval.evaluate_trajectory(pred_scaled, gt)
     assert mean_ate2 < 1e-9
+
+
+def test_latest_checkpoint_skips_preempted_save(tmp_path):
+    """A save killed before the atomic rename leaves weights_<n> with
+    only state.msgpack.tmp — latest_checkpoint must fall back to the
+    previous complete epoch instead of handing --auto_resume a
+    truncated file."""
+    opts, setup = _tiny_setup()
+    state = setup.init_state(jax.random.PRNGKey(0))
+    good = ckpt.save_checkpoint(str(tmp_path), 4, state)
+    interrupted = os.path.join(str(tmp_path), "models", "weights_5")
+    os.makedirs(interrupted)
+    with open(os.path.join(interrupted, "state.msgpack.tmp"), "wb") as f:
+        f.write(b"partial")
+    assert ckpt.latest_checkpoint(str(tmp_path)) == good
+    # no complete folder at all -> None
+    os.remove(os.path.join(good, "state.msgpack"))
+    assert ckpt.latest_checkpoint(str(tmp_path)) is None

@@ -41,8 +41,13 @@ def save_checkpoint(log_path: str, epoch: int, state: Any,
             ckptr.save(path, jax.device_get(state), force=True)
     else:
         state = jax.device_get(state)
-        with open(os.path.join(folder, "state.msgpack"), "wb") as f:
+        # atomic: a preemption mid-write must not leave a truncated
+        # state.msgpack for --auto_resume to trip over (orbax's OCDBT
+        # commit is already atomic)
+        path = os.path.join(folder, "state.msgpack")
+        with open(path + ".tmp", "wb") as f:
             f.write(flax.serialization.to_bytes(state))
+        os.replace(path + ".tmp", path)
     if meta:
         with open(os.path.join(folder, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
@@ -104,12 +109,19 @@ def load_params_partial(folder: str, target_params: dict,
 
 
 def latest_checkpoint(log_path: str) -> Optional[str]:
+    """Newest weights_<epoch> that actually holds a complete state —
+    a folder whose save was preempted before the atomic rename (or an
+    orbax dir that never committed) is skipped, falling back to the
+    previous epoch."""
     models_dir = os.path.join(log_path, "models")
     if not os.path.isdir(models_dir):
         return None
     folders = [d for d in os.listdir(models_dir)
                if d.startswith("weights_")]
-    if not folders:
-        return None
-    folders.sort(key=lambda d: int(d.split("_")[1]))
-    return os.path.join(models_dir, folders[-1])
+    folders.sort(key=lambda d: int(d.split("_")[1]), reverse=True)
+    for d in folders:
+        folder = os.path.join(models_dir, d)
+        if (os.path.exists(os.path.join(folder, "state.msgpack"))
+                or os.path.isdir(os.path.join(folder, "state.orbax"))):
+            return folder
+    return None
