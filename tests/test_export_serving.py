@@ -106,3 +106,35 @@ def test_export_uint8_input(tmp_path):
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via),
                                atol=1e-5, rtol=0)
     es.verify_artifact(args.out, enc_vars, dec_vars, args)
+
+
+def test_serve_artifact_end_to_end(tmp_path):
+    """export --bundle_params -> serve_artifact runs the program with
+    no model-building Python and writes <stem>_disp.npy matching the
+    direct forward."""
+    from PIL import Image
+    from wavelet_monodepth_tpu.tools import serve_artifact as sa
+
+    args = _args(tmp_path, uint8_input=True, bundle_params=True)
+    exported, enc_vars, dec_vars = es.export_artifact(args)
+    assert os.path.exists(args.out + ".params.msgpack")
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    arrs = []
+    for i in range(3):   # batch=1 artifact + 3 images = tail handling
+        a = rng.randint(0, 255, (64, 96, 3), np.uint8)
+        arrs.append(a)
+        Image.fromarray(a).save(img_dir / f"im_{i}.png")
+    out_dir = tmp_path / "preds"
+    sa.main(["--artifact", args.out, "--images", str(img_dir),
+             "--out", str(out_dir)])
+
+    forward, _, _ = es.build(_args(tmp_path))
+    for i, a in enumerate(arrs):
+        got = np.load(out_dir / f"im_{i}_disp.npy")
+        want = np.asarray(forward(
+            enc_vars, dec_vars,
+            jnp.asarray(a[None], jnp.float32) / 255.0))[0, :, :, 0]
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)

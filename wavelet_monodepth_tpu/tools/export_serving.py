@@ -13,8 +13,11 @@ same architecture and the program stays small. Shapes are static
 (batch/height/width fixed at export), matching TPU serving practice.
 
 Writes:
-  <out>.stablehlo   — the serialized exported program
-  <out>.json        — metadata: shapes, dtype, threshold, in-tree layout
+  <out>.stablehlo       — the serialized exported program
+  <out>.json            — metadata: shapes, dtypes, threshold, layout
+  <out>.params.msgpack  — (--bundle_params) the variable pytree, so
+                          tools/serve_artifact.py runs the artifact
+                          without any model-building Python
 
 Usage:
   python -m wavelet_monodepth_tpu.tools.export_serving \
@@ -59,6 +62,11 @@ def parse_args(argv=None):
     p.add_argument("--verify", action="store_true",
                    help="deserialize the artifact and check it matches "
                         "the direct forward on random input")
+    p.add_argument("--bundle_params", action="store_true",
+                   help="also write <out>.params.msgpack — the "
+                        "(enc_vars, dec_vars) pytree — so "
+                        "tools/serve_artifact.py can run the artifact "
+                        "without any model-building Python")
     return p.parse_args(argv)
 
 
@@ -176,6 +184,11 @@ def export_artifact(args):
         f.write(data)
     with open(args.out + ".json", "w") as f:
         json.dump(meta, f, indent=1)
+    if getattr(args, "bundle_params", False):
+        import flax.serialization
+        with open(args.out + ".params.msgpack", "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(
+                jax.device_get({"enc": enc_vars, "dec": dec_vars})))
     print(f"exported {len(data)} bytes -> {args.out}.stablehlo "
           f"(platforms {meta['platforms']})")
     return exported, enc_vars, dec_vars
