@@ -194,3 +194,33 @@ def test_infer_from_trained_checkpoint(mini_kitti, trained_ckpt):
     assert os.path.exists(base + "_disp.jpeg")
     for s in range(4):
         assert os.path.exists(f"{base}_scale_{s}_wavelets.npy")
+
+
+def test_train_cli_data_parallel(mini_kitti, tmp_path_factory):
+    """--data_axis 2 through the real CLI main: mesh build, replicated
+    restore-free init, pre-sharded prefetch feed, sharded step, visuals
+    logging off sharded arrays, checkpoint of the replicated state —
+    the wiring the step-level mesh tests can't see."""
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    log_dir = str(tmp_path_factory.mktemp("dp_logs"))
+    train_main(["--data_path", mini_kitti, "--log_dir", log_dir,
+                "--model_name", "dp", "--split", "eigen_zhou",
+                "--height", "64", "--width", "96",
+                "--batch_size", "2", "--num_epochs", "1",
+                "--use_stereo", "--frame_ids", "0", "--use_wavelets",
+                "--log_frequency", "1", "--save_frequency", "1",
+                "--data_axis", "2"])
+    folder = os.path.join(log_dir, "dp", "models", "weights_0")
+    assert os.path.exists(os.path.join(folder, "state.msgpack"))
+    # the saved state must be host-complete (device_get of replicated
+    # arrays), loadable into a fresh single-device setup
+    from wavelet_monodepth_tpu.train.kitti import KittiTrainSetup
+    from wavelet_monodepth_tpu.utils import checkpoint as ckpt
+    from wavelet_monodepth_tpu.utils.config import KittiOptions
+    import jax
+    opts = KittiOptions(use_stereo=True, frame_ids=(0,), height=64,
+                        width=96, use_wavelets=True)
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    restored = ckpt.load_checkpoint(
+        folder, setup.init_state(jax.random.PRNGKey(0)))
+    assert int(restored.step) > 0
