@@ -143,3 +143,18 @@ def test_nyu_evaluate_sparse_with_edges(nyu_mat, tmp_path, capsys):
              "--edges_dir", str(edges)])
     out = capsys.readouterr().out
     assert "eps_acc" in out and "eps_comp" in out
+
+
+def test_nyu_train_cli_data_parallel(nyu_zip, tmp_path_factory):
+    """--data_axis 2 through the NYU CLI main: sharded prefetch feed,
+    sharded step, log-path expansion of sharded uint8 batches,
+    checkpoint of the replicated state."""
+    from wavelet_monodepth_tpu.tools.train_nyu import main as train_main
+    log_dir = str(tmp_path_factory.mktemp("nyu_dp_logs"))
+    train_main(["--data_path", nyu_zip, "--log_dir", log_dir,
+                "--model_name", "dp", "--encoder_type",
+                "mobilenet_light", "--use_wavelets", "--use_224",
+                "--batch_size", "2", "--epochs", "1",
+                "--log_frequency", "1", "--data_axis", "2"])
+    assert os.path.exists(os.path.join(
+        log_dir, "dp", "models", "weights_0", "state.msgpack"))
