@@ -138,3 +138,23 @@ def test_serve_artifact_end_to_end(tmp_path):
             enc_vars, dec_vars,
             jnp.asarray(a[None], jnp.float32) / 255.0))[0, :, :, 0]
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+
+
+def test_serve_artifact_sparse_tuple_output(tmp_path):
+    """A sparse artifact returns (disp, total_ops); the runner must
+    take the disp element."""
+    from PIL import Image
+    from wavelet_monodepth_tpu.tools import serve_artifact as sa
+
+    args = _args(tmp_path, use_sparse=True, uint8_input=True,
+                 bundle_params=True)
+    es.export_artifact(args)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.random.RandomState(1).randint(
+        0, 255, (64, 96, 3), np.uint8)).save(img_dir / "a.png")
+    out_dir = tmp_path / "preds"
+    sa.main(["--artifact", args.out, "--images", str(img_dir),
+             "--out", str(out_dir)])
+    disp = np.load(out_dir / "a_disp.npy")
+    assert disp.shape == (64, 96) and np.isfinite(disp).all()
