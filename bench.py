@@ -48,15 +48,25 @@ WATCHDOG_S = 45 * 60          # full bench is ~10 min of remote compiles
 DEVICE_PROBE_S = 5 * 60       # first contact incl. backend init
 
 
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_last_good.json")
+
+
 def _emit_error(reason: str) -> None:
+    extra = {"error": reason,
+             "note": "TPU relay unreachable or bench overran its "
+                     "watchdog; no measurement was taken"}
+    try:  # cite the newest successful window for context
+        with open(_CACHE_PATH) as f:
+            extra["last_good"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     print(json.dumps({
         "metric": "kitti_r18_640x192_sparse_fps",
         "value": 0.0,
         "unit": "frames/sec",
         "vs_baseline": 0.0,
-        "extra": {"error": reason,
-                  "note": "TPU relay unreachable or bench overran its "
-                          "watchdog; no measurement was taken"},
+        "extra": extra,
     }), flush=True)
 
 
@@ -254,6 +264,12 @@ def main():
             **mfu,
         },
     }
+    try:  # cache the good run so a later relay-down error can cite it
+        with open(_CACHE_PATH, "w") as f:
+            json.dump({"cached_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+                       **result}, f)
+    except OSError:
+        pass
     print(json.dumps(result))
     return 0
 
