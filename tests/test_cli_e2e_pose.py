@@ -64,3 +64,27 @@ def test_gt_fed_trajectory_has_zero_ate(mini_odom):
     pred = np.stack(pose_eval.local_gt_poses(gt))
     mean_ate, std_ate = pose_eval.evaluate_trajectory(pred, gt)
     assert mean_ate < 1e-6 and std_ate < 1e-6
+
+
+def test_train_cli_on_odom_split(mini_odom, tmp_path_factory):
+    """Mono + pose-net training through the real CLI on the odometry
+    path scheme (--dataset kitti_odom): the two CLI combinations the
+    stereo e2e never runs — temporal frame_ids with a pose decoder, and
+    the sequences/NN/image_2 layout (`kitti_dataset.py` odom scheme)."""
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    splits = os.path.join(mini_odom, "splits", "odom")
+    with open(os.path.join(splits, "train_files.txt"), "w") as f:
+        f.write("".join(f"9 {i} l\n" for i in range(1, 7)))
+    with open(os.path.join(splits, "val_files.txt"), "w") as f:
+        f.write("9 2 l\n9 3 l\n")
+    log_dir = str(tmp_path_factory.mktemp("odom_logs"))
+    train_main(["--data_path", mini_odom, "--log_dir", log_dir,
+                "--model_name", "odo", "--split", "odom",
+                "--dataset", "kitti_odom", "--png",
+                "--height", "64", "--width", "128",
+                "--frame_ids", "0", "-1", "1",
+                "--batch_size", "2", "--num_epochs", "1",
+                "--use_wavelets", "--log_frequency", "1",
+                "--save_frequency", "1"])
+    folder = os.path.join(log_dir, "odo", "models", "weights_0")
+    assert os.path.exists(os.path.join(folder, "state.msgpack"))
