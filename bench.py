@@ -103,6 +103,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat windows skip the ~10 min
+        # of remote compiles (keyed by HLO+platform; harmless if the
+        # axon plugin declines executable serialization)
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(
+            os.environ.get("WMD_JAX_CACHE", "~/.cache/wmd_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     from wavelet_monodepth_tpu.models.decoders_kitti import \
         KittiWaveletDecoder
     from wavelet_monodepth_tpu.models.resnet import ResnetEncoder, \

@@ -19,3 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by recompiles of
+# identical tiny programs across runs on this 1-CPU box. Keyed by HLO
+# hash, so staleness is impossible by construction; -1 min_entry_size
+# caches everything, min_compile_time 0 includes fast compiles too.
+_cache_dir = os.environ.get(
+    "WMD_JAX_CACHE", os.path.expanduser("~/.cache/wmd_jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
