@@ -410,3 +410,164 @@ def test_pose_cnn_parity():
     ax, tr = ours.apply(variables, jnp.asarray(_nhwc(x)))
     np.testing.assert_allclose(np.asarray(ax), ref_ax.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tr), ref_tr.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# NYU DenseNet-161 encoder: input-handling + architecture parity.
+#
+# torchvision is absent here, so we stub `torchvision.models.densenet161`
+# with a from-scratch torch DenseNet-161 whose .features Sequential uses the
+# exact torchvision child names (conv0/norm0/relu0/pool0, denseblockX.
+# denselayerY.{norm1,conv1,norm2,conv2}, transitionX.{norm,conv,pool},
+# norm5) — the names the reference's forward iterates
+# (`densenet_encoder.py:31-33`) and its state_dict exposes.
+# ---------------------------------------------------------------------------
+
+class _TVDenseLayer(torch.nn.Module):
+    def __init__(self, in_ch, growth=48, bn_size=4):
+        super().__init__()
+        self.norm1 = torch.nn.BatchNorm2d(in_ch)
+        self.relu1 = torch.nn.ReLU(inplace=True)
+        self.conv1 = torch.nn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+        self.norm2 = torch.nn.BatchNorm2d(bn_size * growth)
+        self.relu2 = torch.nn.ReLU(inplace=True)
+        self.conv2 = torch.nn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                                     bias=False)
+
+    def forward(self, x):
+        y = self.conv1(self.relu1(self.norm1(x)))
+        y = self.conv2(self.relu2(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class _TVDenseBlock(torch.nn.Module):
+    def __init__(self, n, in_ch, growth=48, bn_size=4):
+        super().__init__()
+        for i in range(n):
+            self.add_module(f"denselayer{i + 1}",
+                            _TVDenseLayer(in_ch + i * growth, growth,
+                                          bn_size))
+
+    def forward(self, x):
+        for child in self.children():
+            x = child(x)
+        return x
+
+
+class _TVTransition(torch.nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.norm = torch.nn.BatchNorm2d(in_ch)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.conv = torch.nn.Conv2d(in_ch, out_ch, 1, bias=False)
+        self.pool = torch.nn.AvgPool2d(2, 2)
+
+    def forward(self, x):
+        return self.pool(self.conv(self.relu(self.norm(x))))
+
+
+def _tv_densenet161(pretrained=False):
+    import collections
+    growth, init_feats, bn_size = 48, 96, 4
+    blocks = (6, 12, 36, 24)
+    layers = collections.OrderedDict([
+        ("conv0", torch.nn.Conv2d(3, init_feats, 7, 2, 3, bias=False)),
+        ("norm0", torch.nn.BatchNorm2d(init_feats)),
+        ("relu0", torch.nn.ReLU(inplace=True)),
+        ("pool0", torch.nn.MaxPool2d(3, 2, 1)),
+    ])
+    nch = init_feats
+    for bi, n in enumerate(blocks):
+        layers[f"denseblock{bi + 1}"] = _TVDenseBlock(n, nch, growth,
+                                                      bn_size)
+        nch += n * growth
+        if bi != len(blocks) - 1:
+            layers[f"transition{bi + 1}"] = _TVTransition(nch, nch // 2)
+            nch //= 2
+    layers["norm5"] = torch.nn.BatchNorm2d(nch)
+    model = torch.nn.Module()
+    model.features = torch.nn.Sequential(layers)
+    return model
+
+
+@pytest.fixture(scope="module")
+def ref_nyu_encoder_cls():
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    for name in ("densenet161", "densenet121", "densenet201", "densenet169"):
+        setattr(tv_models, name, _tv_densenet161)
+    tv.models = tv_models
+    saved = {k: sys.modules.get(k) for k in ("torchvision",
+                                             "torchvision.models")}
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    try:
+        mod = _load_by_path(
+            "ref_nyu_densenet_encoder",
+            f"{REF_NYU}/networks/encoders/densenet_encoder.py")
+        yield mod.DenseEncoder
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        sys.modules.pop("ref_nyu_densenet_encoder", None)
+
+
+def _randomized_encoder(cls, seed):
+    """Reference DenseEncoder with randomized weights AND BN stats (default
+    running stats are (0, 1) which would hide normalization bugs)."""
+    torch.manual_seed(seed)
+    ref = cls(normalize_input=True, pretrained=False)
+    g = torch.Generator().manual_seed(seed + 1)
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            continue
+        r = 0.05 * torch.randn(v.shape, generator=g)
+        sd[k] = r.abs() + 0.5 if k.endswith("running_var") else r
+    ref.load_state_dict(sd)
+    ref.eval()
+    return ref
+
+
+def test_nyu_densenet_encoder_normalize_is_noop(ref_nyu_encoder_cls):
+    """The reference's normalize_input flag must not change its output:
+    `t.sub(m).div(s)` is out-of-place with the result discarded
+    (`densenet_encoder.py:27-29`). This locks the behavior our
+    normalize_input=False default reproduces."""
+    ref = _randomized_encoder(ref_nyu_encoder_cls, 20)
+    g = torch.Generator().manual_seed(21)
+    x = torch.rand(1, 3, 64, 96, generator=g)
+    with torch.no_grad():
+        out_on = ref(x.clone())
+        ref.normalize_input = False
+        out_off = ref(x.clone())
+    for a, b in zip(out_on, out_off):
+        assert torch.equal(a, b)
+    # and the input itself was not mutated in place either
+    assert torch.equal(x, x.clone())
+
+
+def test_nyu_densenet_encoder_parity(ref_nyu_encoder_cls):
+    """Full-forward parity: reference DenseEncoder (normalize_input=True,
+    its constructor default) == our DenseNet161Encoder at OUR default
+    (normalize_input=False) with imported weights — proving both the
+    architecture mapping and that our default reproduces the reference's
+    effective (unnormalized) input handling."""
+    ref = _randomized_encoder(ref_nyu_encoder_cls, 22)
+    g = torch.Generator().manual_seed(23)
+    x = torch.rand(1, 3, 64, 96, generator=g)
+    with torch.no_grad():
+        ref_feats = ref(x)
+
+    from wavelet_monodepth_tpu.models.densenet import DenseNet161Encoder
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = ti.import_densenet_encoder(
+        sd, prefix="original_model.features.")
+    ours = DenseNet161Encoder()          # default normalize_input=False
+    feats = ours.apply(variables, jnp.asarray(_nhwc(x)), train=False)
+    assert len(feats) == len(ref_feats) == 5
+    for i, (got, want) in enumerate(zip(feats, ref_feats)):
+        _assert_close(got, want, f"densenet_feat{i}", atol=2e-4)

@@ -5,7 +5,15 @@ torchvision densenet161.features at relu0 (H/2, 96), pool0 (H/4, 96),
 transition1 (H/8, 192), transition2 (H/16, 384) and denseblock4 (H/32,
 2208); `num_ch_enc = [96, 96, 192, 384, 2208]`. densenet161 config:
 init_features 96, growth 48, bn_size 4, blocks (6, 12, 36, 24).
-ImageNet mean/std input normalization (`densenet_encoder.py:20-29`).
+
+Input normalization: the reference's `normalize_input` is a SILENT NO-OP —
+`t.sub(m).div(s)` is out-of-place and the result is discarded
+(`densenet_encoder.py:27-29`; same bug in the NYU resnet/mobilenet
+encoders), so every published NYU model consumed raw [0,1] inputs. We
+default `normalize_input=False` to reproduce that effective behavior
+(locked by tests/test_reference_parity.py::test_nyu_densenet_encoder_*);
+True performs REAL ImageNet mean/std normalization — a documented
+deviation for from-scratch training, never for reference checkpoints.
 """
 
 from __future__ import annotations
@@ -54,7 +62,7 @@ class Transition(nn.Module):
 
 
 class DenseNet161Encoder(nn.Module):
-    normalize_input: bool = True
+    normalize_input: bool = False
     growth_rate: int = 48
     init_features: int = 96
     block_config: tuple = (6, 12, 36, 24)

@@ -130,7 +130,7 @@ class NyuOptions:
     use_224: bool = False
     dw_waveconv: bool = False
     dw_upconv: bool = False
-    normalize_input: bool = True
+    normalize_input: bool = False  # reference default is False (train.py:187 store_true) AND the flag is a silent no-op there anyway: all three NYU encoders normalize OUT-OF-PLACE and discard the result (densenet_encoder.py:27-29), so published NYU models were trained WITHOUT input normalization. Our True performs REAL ImageNet normalization (documented deviation, DEVIATIONS.md) — never set it when loading reference checkpoints.
     pretrained_encoder: bool = True
     disparity: bool = False
     supervise_LL: bool = False
