@@ -182,8 +182,9 @@ def test_mixed_precision_close_to_f32_first_step():
 
 
 def test_banded_warp_auto_selection_and_train_step():
-    """stereo_warp_kernel='auto' resolves by width (banded wins 2.4-2.8x
-    at 1024-wide on v5e, gather wins at 640 — PERF.md round 3), and a
+    """stereo_warp_kernel='auto' picks the chunked gather at EVERY width
+    (it beats the banded kernel at every measured shape once the
+    operand-size cliff is chunked away — PERF.md rounds 3c-4), and a
     train step with the banded kernel forced on matches the gather step
     losses closely on the same batch."""
     from wavelet_monodepth_tpu.train.losses_kitti import (
@@ -192,8 +193,9 @@ def test_banded_warp_auto_selection_and_train_step():
     narrow = _stereo_hints_opts()
     assert narrow.stereo_warp_kernel == "auto"
     assert not use_banded_warp(narrow)
-    wide = dataclasses.replace(narrow, width=BANDED_WARP_MIN_WIDTH)
-    assert use_banded_warp(wide)
+    assert BANDED_WARP_MIN_WIDTH == float("inf")
+    wide = dataclasses.replace(narrow, width=1024)
+    assert not use_banded_warp(wide)      # auto = gather everywhere now
     assert use_banded_warp(dataclasses.replace(narrow,
                                                stereo_warp_kernel="on"))
     assert not use_banded_warp(dataclasses.replace(

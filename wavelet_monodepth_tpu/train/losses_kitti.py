@@ -29,13 +29,19 @@ from ..ops.ssim import ssim as ssim_fn
 
 Array = jnp.ndarray
 
-# Width where the Pallas banded warp overtakes the XLA gather on a v5e
-# (same-window A/Bs, PERF.md round 3: gather wins 1.3x at 640x192 and
-# 832x256, banded wins 2.2-2.8x at 1024x320 — the gather falls off a
-# cliff between 832 and 1024 wide, 1.5x the pixels for 3.7-3.9x the
-# step time). Conservative: banded only from the first width measured
-# to win.
-BANDED_WARP_MIN_WIDTH = 1024
+# Width where the Pallas banded warp would overtake the XLA gather on a
+# v5e. The 1024x320 banded win (2.2-2.8x, PERF.md round 3) was against
+# the PRE-chunking gather, which was falling off XLA's large-operand
+# gather cliff (root-caused round 3c: flat-operand SIZE, not width).
+# With grid_sample_border's batch-chunked take (ops/image.py
+# _TAKE_OPERAND_MAX_BYTES) the gather wins at EVERY measured shape:
+# 640x192 1.3x (73.7 vs 84.1 ms/step b12), 832x256 1.3x, 1024x320 b6
+# bf16-mp 112.4 vs banded 137.4 ms/step (same window, round 4; the
+# round-3c window agreed at 127.1 vs 156.5). "auto" therefore always
+# picks the gather; the banded kernel stays available via
+# stereo_warp_kernel="on" (it partitions under the data mesh and may
+# win on other generations — re-A/B before forcing it).
+BANDED_WARP_MIN_WIDTH = float("inf")
 
 
 def use_banded_warp(opts) -> bool:

@@ -80,7 +80,7 @@ class KittiOptions:
     data_axis: int = 1                     # data-parallel mesh size
     bfloat16: bool = False                 # bf16 inference; bf16 mixed-precision training (f32 master params)
     native_decode: bool = False            # eval feed via the C++ threaded decoder (native/wmd_native.cpp; cv2 LANCZOS4 vs PIL LANCZOS differ ~1e-3/px)
-    stereo_warp_kernel: str = "auto"       # Pallas banded warp for "s"-frame/hint reprojection (ops/warp.py): "auto" = on for width >= 1024 (2.2-2.8x at 1024x320; the XLA gather falls off a cliff past 832 wide), off below (gather wins ~1.3x at 640/832) — PERF.md round 3. "on"/"off" force it.
+    stereo_warp_kernel: str = "auto"       # "s"-frame/hint reprojection backend: "auto" = the batch-chunked flat-row gather at every shape (it beats the Pallas banded warp ops/warp.py everywhere once the XLA operand-size gather cliff is chunked away: 1.2-1.3x at 1024x320, PERF.md rounds 3c-4); "on" forces the banded kernel (re-A/B on other hardware generations), "off" forces the gather.
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
     host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
