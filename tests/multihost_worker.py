@@ -1,0 +1,87 @@
+"""Worker process for tests/test_multihost.py — NOT a test module.
+
+Brings up jax.distributed on the CPU backend (gloo collectives), takes
+its interleaved shard of a fabricated split list, contributes its local
+rows of a known global batch via `parallel.mesh.shard_batch`
+(make_array_from_process_local_data under the hood), and runs two REAL
+KITTI train steps on the resulting global mesh — the same wiring the
+train CLIs use for multi-host (SURVEY §2.3: data parallelism over the
+full device mesh, DCN only for the input pipeline). Writes its shard,
+per-step losses, global batch dim, and a post-step param fingerprint as
+JSON for the parent test to cross-check against a single-process run.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import os                                                   # noqa: E402
+
+_cache = os.environ.get("WMD_JAX_CACHE",
+                        os.path.expanduser("~/.cache/wmd_jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def main():
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    port, out_path = sys.argv[3], sys.argv[4]
+
+    from wavelet_monodepth_tpu.parallel import mesh as mesh_lib
+    mesh_lib.initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    files = [f"item{i:02d}" for i in range(11)]
+    shard = mesh_lib.process_shard(files)
+
+    from wavelet_monodepth_tpu.train.kitti import (KittiTrainSetup,
+                                                   synthetic_batch)
+    from wavelet_monodepth_tpu.utils.config import KittiOptions
+    opts = KittiOptions(use_stereo=True, frame_ids=(0,), use_wavelets=True,
+                        height=64, width=96, scales=(0, 1, 2, 3),
+                        loss_scales=(0, 1, 2, 3), num_layers=18,
+                        batch_size=4, data_axis=jax.device_count())
+    mesh = mesh_lib.make_mesh(data=opts.data_axis)
+    # gloo's first-collective rendezvous has a 30 s deadline; establish
+    # the clique before the multi-minute train-step compile
+    mesh_lib.warmup_collectives(mesh)
+
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))   # same on every host
+    state = mesh_lib.replicate(mesh, state)
+
+    # the deterministic global batch; this process feeds only its rows
+    # (global device order groups by process, so process p owns the
+    # contiguous row block [p*local : (p+1)*local])
+    gbatch = synthetic_batch(opts, opts.batch_size)
+    local = opts.batch_size // nproc
+    sl = slice(pid * local, (pid + 1) * local)
+    local_batch = jax.tree_util.tree_map(
+        lambda a: np.asarray(a)[sl], gbatch)
+    dev_batch = mesh_lib.shard_batch(mesh, local_batch)
+    batch_dim = next(iter(jax.tree_util.tree_leaves(dev_batch))).shape[0]
+
+    step_fn = setup.jit_train_step()
+    losses = []
+    for i in range(2):
+        state, l = step_fn(state, dev_batch, jax.random.PRNGKey(i))
+        losses.append(float(l["loss"]))
+
+    # param fingerprint: global L2 of one updated kernel (replicated)
+    k = state.params["encoder"]["stem"]["conv"]["kernel"]
+    fingerprint = float(jax.numpy.sqrt(jax.numpy.sum(k * k)))
+
+    with open(out_path, "w") as f:
+        json.dump({"pid": pid, "shard": shard, "losses": losses,
+                   "global_batch_dim": int(batch_dim),
+                   "n_devices": jax.device_count(),
+                   "fingerprint": fingerprint}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,11 @@ def to_device(batch_iter: Iterator, size: int = 2, sharding=None):
 
     def put(batch):
         if sharding is not None:
+            # multi-process safe: under jax.distributed each host feeds
+            # its local rows and the put assembles one global array
+            from ..parallel.mesh import put_global
             return jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, sharding), batch)
+                lambda a: put_global(a, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     def producer():

@@ -20,15 +20,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up (`jax.distributed.initialize`): call once per
-    host before building the mesh. No-ops in single-process runs. DCN
-    carries only the input pipeline; gradient psum rides ICI."""
+    host before building the mesh. No-ops in single-process runs (no
+    coordinator given and none discoverable from the environment — on
+    TPU pods jax.distributed.initialize() autodetects, so set
+    JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES or pass flags explicitly
+    elsewhere). DCN carries only the input pipeline; gradient psum
+    rides ICI. On the CPU backend (multi-process tests) cross-process
+    collectives need gloo, selected here before bring-up."""
     import os
     if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ \
             and coordinator_address is None:
         return  # single-process
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if jax.config.jax_platforms == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=None if num_processes is None else int(num_processes),
+        process_id=None if process_id is None else int(process_id))
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-process collective clique with a trivial psum
+    BEFORE any heavy compile. Gloo (CPU backend) initializes its context
+    lazily at the FIRST collective execution with a hard ~30 s rendezvous
+    deadline — if that first collective sits after a multi-minute
+    train-step compile, process skew on a loaded host blows the deadline
+    (`GetKeyValue() timed out`). A one-element all-reduce compiles in
+    well under a second on every process, so the rendezvous happens while
+    the processes are still in lockstep. No-op single-process; harmless
+    (one tiny psum) on TPU pods."""
+    if jax.process_count() == 1:
+        return
+    local_rows = max(1, mesh.shape["data"] // jax.process_count())
+    x = put_global(np.ones((local_rows, 1), np.float32),
+                   batch_sharding(mesh))
+    total = jax.jit(jax.numpy.sum, out_shardings=replicated(mesh))(x)
+    jax.block_until_ready(total)
+
+
+def process_shard(items: list) -> list:
+    """This process's shard of a split-file list (interleaved, so every
+    process gets the same count within +-1 and the union is exact).
+    Each host feeds only its own shard; the global batch is assembled
+    device-side by `global_batch_sharding` puts. Single-process: the
+    full list."""
+    return list(items[jax.process_index()::jax.process_count()])
 
 
 def make_mesh(data: int | None = None, spatial: int = 1,
@@ -51,16 +87,51 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(a, sharding):
+    """Put one host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process: the array is this
+    process's LOCAL slice (its shard of the batch, or a full replica
+    for replicated shardings) and the processes' slices are assembled
+    into one global jax.Array — global batch = per-process batch x
+    process_count, laid out so each host's rows land on its own
+    addressable devices (no DCN traffic for the feed itself)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, a)
+    return jax.device_put(a, sharding)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device_put every array in a (possibly nested, tuple-keyed) batch
-    dict with its batch axis over 'data'."""
+    """Put every array in a (possibly nested, tuple-keyed) batch dict
+    with its batch axis over 'data'. Multi-process safe (see
+    put_global)."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), batch)
+    return jax.tree_util.tree_map(lambda a: put_global(a, s), batch)
 
 
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, r), tree)
+    return jax.tree_util.tree_map(lambda a: put_global(a, r), tree)
+
+
+def local_rows(a):
+    """This process's addressable rows of a (possibly multi-process)
+    batch-sharded array, as one host array. Multi-host TB visual logging
+    fetches these instead of the global array (whose remote shards are
+    not addressable); single-process (all shards local) it is the full
+    array, in order."""
+    if not hasattr(a, "addressable_shards"):       # already a host array
+        return np.asarray(a)
+    if a.is_fully_replicated or jax.process_count() == 1:
+        return np.asarray(a)
+    shards = sorted(a.addressable_shards, key=lambda s: s.index[0].start
+                    if s.index and s.index[0].start else 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def local_tree(tree):
+    """local_rows over a batch/outputs pytree."""
+    return jax.tree_util.tree_map(local_rows, tree)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:

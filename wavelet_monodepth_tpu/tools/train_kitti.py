@@ -29,6 +29,14 @@ def main(argv=None):
     opts.validate_for_training()
     log_path = os.path.join(opts.log_dir, opts.model_name)
 
+    # multi-host bring-up (no-op single-process). Each process then
+    # loads only its interleaved shard of the split, feeds its local
+    # rows, and the device_put assembles the global batch
+    # (parallel/mesh.py put_global); gradient psum rides ICI.
+    mesh_lib.initialize_distributed(opts.coordinator_address,
+                                    opts.num_processes, opts.process_id)
+    nproc, is_main = jax.process_count(), jax.process_index() == 0
+
     from ..data.splits import resolve_split_dir
     split_dir = resolve_split_dir(opts.split, opts.data_path)
     train_files = kitti_data.readlines(
@@ -36,6 +44,18 @@ def main(argv=None):
     val_files = kitti_data.readlines(
         os.path.join(split_dir, "val_files.txt"))
     img_ext = ".png" if opts.png else ".jpg"
+
+    # global sizes decide the (lockstep) step counts; each process
+    # loads batch_size/nproc items of its own shard per step
+    n_train_global, n_val_global = len(train_files), len(val_files)
+    assert opts.batch_size % nproc == 0, \
+        f"batch_size {opts.batch_size} must divide by {nproc} processes"
+    local_batch = opts.batch_size // nproc
+    if nproc > 1:
+        train_files = mesh_lib.process_shard(train_files)
+        val_files = mesh_lib.process_shard(val_files)
+        if opts.data_axis <= 1:
+            opts.data_axis = jax.device_count()
 
     frame_idxs = list(opts.all_frame_ids)
     # the step consumes color_aug only at scale 0 and (without
@@ -55,10 +75,12 @@ def main(argv=None):
         opts.data_path, val_files, opts.height, opts.width, frame_idxs,
         list(opts.scales), **dict(feed_kw, is_train=False))
 
-    steps_per_epoch = len(train_ds) // opts.batch_size
+    steps_per_epoch = n_train_global // opts.batch_size
     setup = KittiTrainSetup(opts, steps_per_epoch=steps_per_epoch)
     mesh = mesh_lib.make_mesh(data=opts.data_axis) \
         if opts.data_axis > 1 else None
+    if mesh is not None:
+        mesh_lib.warmup_collectives(mesh)   # no-op single-process
 
     rng = jax.random.PRNGKey(0)
     state = setup.init_state(rng)
@@ -82,7 +104,7 @@ def main(argv=None):
     step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
 
-    logger = SummaryLogger(log_path)
+    logger = SummaryLogger(log_path) if is_main else None
     timer = TrainTimer(steps_per_epoch * opts.num_epochs)
 
     # threaded item loading (reference: DataLoader(num_workers=12),
@@ -92,19 +114,20 @@ def main(argv=None):
     from ..data.prefetch import to_device
     sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
     train_iter = to_device(
-        parallel_batches(train_ds, opts.batch_size,
+        parallel_batches(train_ds, local_batch,
                          num_workers=opts.num_workers, shuffle=True),
         sharding=sharding)
     # val mirrors the reference's shuffled val DataLoader
     # (`trainer.py:136-138`), same worker pool size
     val_iter = to_device(
-        parallel_batches(val_ds, opts.batch_size,
+        parallel_batches(val_ds, local_batch,
                          num_workers=opts.num_workers, shuffle=True),
         sharding=sharding)
 
-    print(f"Training model named:\n   {opts.model_name}")
-    print(f"There are {len(train_ds)} training and {len(val_ds)} "
-          f"validation items")
+    if is_main:
+        print(f"Training model named:\n   {opts.model_name}")
+        print(f"There are {n_train_global} training and {n_val_global} "
+              f"validation items")
     step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, opts.num_epochs):
         for batch_idx in range(steps_per_epoch):
@@ -120,11 +143,15 @@ def main(argv=None):
             early = batch_idx % opts.log_frequency == 0 and step < 1000
             late = step % 1000 == 0
             if early or late:
-                print(timer.log_line(epoch, batch_idx, max(step, 1),
-                                     opts.batch_size, durations, loss))
-                logger.scalars("train",
-                               {k: float(v) for k, v in losses.items()},
-                               step)
+                # the forwards below run collectives, so EVERY process
+                # executes them in lockstep; only the TB/print side
+                # effects are rank-0's (logger is a no-op elsewhere)
+                if is_main:
+                    print(timer.log_line(epoch, batch_idx, max(step, 1),
+                                         opts.batch_size, durations, loss))
+                    logger.scalars(
+                        "train", {k: float(v) for k, v in losses.items()},
+                        step)
                 # train-batch visuals (`trainer.py:661-720`): warped
                 # predictions, automask, disparities, per-scale wavelet
                 # coefficient images/histograms/min-max — re-forwarded
@@ -132,27 +159,32 @@ def main(argv=None):
                 # fetches image tensors off-device on non-log steps
                 rng, sub = jax.random.split(rng)
                 toutputs, _ = eval_fn(state, batch, sub)
-                logger.log_kitti_visuals("train", batch, toutputs, opts,
-                                         step)
+                if is_main:
+                    logger.log_kitti_visuals(
+                        "train", mesh_lib.local_tree(batch),
+                        mesh_lib.local_tree(toutputs), opts, step)
                 # one-batch validation (`trainer.py:312-327`)
                 vbatch = next(val_iter)
                 rng, sub = jax.random.split(rng)
                 voutputs, vlosses = eval_fn(state, vbatch, sub)
-                logger.scalars("val",
-                               {k: float(v) for k, v in vlosses.items()},
-                               step)
-                logger.log_kitti_visuals("val", vbatch, voutputs, opts,
-                                         step)
+                if is_main:
+                    logger.scalars(
+                        "val", {k: float(v) for k, v in vlosses.items()},
+                        step)
+                    logger.log_kitti_visuals(
+                        "val", mesh_lib.local_tree(vbatch),
+                        mesh_lib.local_tree(voutputs), opts, step)
             step += 1
 
-        if (epoch + 1) % opts.save_frequency == 0:
+        if (epoch + 1) % opts.save_frequency == 0 and is_main:
             meta = {"height": opts.height, "width": opts.width,
                     "use_stereo": int(opts.use_stereo), "epoch": epoch}
             folder = ckpt.save_checkpoint(
                 log_path, epoch, state, meta, opts,
                 backend=opts.checkpoint_backend)
             print(f"saved checkpoint to {folder}")
-    logger.close()
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -24,9 +24,26 @@ def main(argv=None):
     opts = parse_nyu_args(argv)
     log_path = os.path.join(opts.log_dir, opts.model_name)
 
+    # multi-host bring-up (no-op single-process); each process keeps
+    # only its interleaved shard of the (train==test, reference quirk)
+    # pair list and feeds batch_size/nproc local rows per step
+    from ..parallel import mesh as mesh_lib
+    mesh_lib.initialize_distributed(opts.coordinator_address,
+                                    opts.num_processes, opts.process_id)
+    nproc, is_main = jax.process_count(), jax.process_index() == 0
+
     train_ds, test_ds = nyu_data.get_training_testing_data(
         opts.data_path, is_224=opts.use_224,
         uint8_feed=not opts.float_feed)
+    n_train_global = len(train_ds)
+    assert opts.batch_size % nproc == 0, \
+        f"batch_size {opts.batch_size} must divide by {nproc} processes"
+    local_batch = opts.batch_size // nproc
+    if nproc > 1:
+        train_ds.pairs = mesh_lib.process_shard(train_ds.pairs)
+        test_ds.pairs = mesh_lib.process_shard(test_ds.pairs)
+        if opts.data_axis <= 1:
+            opts.data_axis = jax.device_count()
     setup = NyuTrainSetup(opts)
     state = setup.init_state(jax.random.PRNGKey(0))
     start_epoch = 0
@@ -45,28 +62,25 @@ def main(argv=None):
 
     mesh = None
     if opts.data_axis > 1:
-        from ..parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(data=opts.data_axis)
+        mesh_lib.warmup_collectives(mesh)   # no-op single-process
         state = mesh_lib.replicate(mesh, state)
     step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
 
-    logger = SummaryLogger(log_path)
-    n_batches = len(train_ds) // opts.batch_size
+    logger = SummaryLogger(log_path) if is_main else None
+    n_batches = n_train_global // opts.batch_size
     # threaded item loading (reference: DataLoader(num_workers),
     # `NYUv2/data.py:222-223`) + double-buffered host->device transfer
     from ..data.loader import parallel_batches
     from ..data.prefetch import to_device
-    sharding = None
-    if mesh is not None:
-        from ..parallel import mesh as mesh_lib
-        sharding = mesh_lib.batch_sharding(mesh)
+    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
     train_iter = to_device(
-        parallel_batches(train_ds, opts.batch_size,
+        parallel_batches(train_ds, local_batch,
                          num_workers=opts.num_workers),
         sharding=sharding)
     val_iter = to_device(
-        parallel_batches(test_ds, opts.batch_size,
+        parallel_batches(test_ds, local_batch,
                          num_workers=opts.num_workers, shuffle=False),
         sharding=sharding)
 
@@ -77,17 +91,20 @@ def main(argv=None):
             batch = next(train_iter)   # already on device, sharded
             image, depth = batch["image"], batch["depth"]
             state, losses = step_fn(state, image, depth)
-            if i % 5 == 0:
+            if i % 5 == 0 and is_main:
                 bt = time.time() - t_end
                 print(f"Epoch: [{epoch}][{i}/{n_batches}]\t"
                       f"Time {bt:.3f}\t Loss {float(losses['loss']):.4f}")
             if i % opts.log_frequency == 0:
+                # collectives below run on EVERY process in lockstep;
+                # only rank 0 writes TB
                 from ..ops import augment
                 from ..ops.wavelets import haar_dwt_J
                 from ..train.nyu import depth_norm
-                logger.scalars("train",
-                               {k: float(v) for k, v in losses.items()},
-                               step)
+                if is_main:
+                    logger.scalars(
+                        "train", {k: float(v) for k, v in losses.items()},
+                        step)
                 # pred-vs-GT coefficient images + histograms
                 # (`NYUv2/train.py:113-163`): re-forward through the
                 # eval step at log time only. The uint8 feed expands
@@ -98,8 +115,12 @@ def main(argv=None):
                 toutputs = eval_fn(state, image)
                 gt_wav = (haar_dwt_J(depth_n, 4) if opts.use_wavelets
                           else None)
-                logger.log_nyu_visuals("train", img_f, depth_n, toutputs,
-                                       gt_wav, step)
+                if is_main:
+                    logger.log_nyu_visuals(
+                        "train", mesh_lib.local_rows(img_f),
+                        mesh_lib.local_rows(depth_n),
+                        mesh_lib.local_tree(toutputs),
+                        mesh_lib.local_tree(gt_wav), step)
                 vbatch = next(val_iter)
                 outputs = eval_fn(state, jnp.asarray(vbatch["image"]))
                 vimg_f, vdepth = augment.expand_nyu(
@@ -108,21 +129,27 @@ def main(argv=None):
                 vdepth_n = (depth_norm(vdepth) if opts.disparity
                             else vdepth)
                 vlosses = setup.compute_losses(outputs, vdepth_n)
-                logger.scalars("val",
-                               {k: float(v) for k, v in vlosses.items()},
-                               step)
-                logger.log_nyu_visuals(
-                    "val", vimg_f, vdepth_n, outputs,
-                    haar_dwt_J(vdepth_n, 4) if opts.use_wavelets
-                    else None, step)
+                if is_main:
+                    logger.scalars(
+                        "val", {k: float(v) for k, v in vlosses.items()},
+                        step)
+                    logger.log_nyu_visuals(
+                        "val", mesh_lib.local_rows(vimg_f),
+                        mesh_lib.local_rows(vdepth_n),
+                        mesh_lib.local_tree(outputs),
+                        mesh_lib.local_tree(
+                            haar_dwt_J(vdepth_n, 4)) if opts.use_wavelets
+                        else None, step)
             t_end = time.time()
             step += 1
-        folder = ckpt.save_checkpoint(log_path, epoch, state,
-                                      {"epoch": epoch,
-                                       "use_224": opts.use_224}, opts,
-                                      backend=opts.checkpoint_backend)
-        print(f"saved checkpoint to {folder}")
-    logger.close()
+        if is_main:
+            folder = ckpt.save_checkpoint(log_path, epoch, state,
+                                          {"epoch": epoch,
+                                           "use_224": opts.use_224}, opts,
+                                          backend=opts.checkpoint_backend)
+            print(f"saved checkpoint to {folder}")
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":

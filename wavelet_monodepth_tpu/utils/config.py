@@ -84,6 +84,9 @@ class KittiOptions:
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
     host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
+    coordinator_address: Optional[str] = None  # multi-host: coordinator host:port for jax.distributed.initialize (same value on every host). On TPU pods leave unset — autodetected when JAX_NUM_PROCESSES/the pod runtime provide it. See MIGRATION.md "Multi-host".
+    num_processes: Optional[int] = None        # multi-host: total process count (one per host)
+    process_id: Optional[int] = None           # multi-host: this host's rank in [0, num_processes)
 
     def validate_for_training(self):
         """The reference's constructor asserts (`trainer.py:35-61`)."""
@@ -145,6 +148,9 @@ class NyuOptions:
     checkpoint_backend: str = "msgpack"    # msgpack | orbax
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (explicit --load_weights_folder wins)
     float_feed: bool = False               # host-side float cast + centimetre clamp (the reference's ToTensor semantics). Default off: the feed ships post-resize uint8 arrays and the jitted step casts/clamps on device (ops/augment.expand_nyu) — bit-identical, 4x fewer host->device bytes
+    coordinator_address: Optional[str] = None  # multi-host: coordinator host:port for jax.distributed.initialize (same value on every host)
+    num_processes: Optional[int] = None        # multi-host: total process count (one per host)
+    process_id: Optional[int] = None           # multi-host: this host's rank in [0, num_processes)
 
 
 def save_opts(opts, path: str):
