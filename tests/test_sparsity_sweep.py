@@ -1,0 +1,50 @@
+"""sparsity_sweep: the score-vs-latency curve artifact runs end-to-end
+(slope-measured latency, threshold + edge-mask families, synthetic
+training) and plot_sparsity_curve renders its JSON."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_sweep_and_plot_end_to_end(tmp_path):
+    from wavelet_monodepth_tpu.tools.sparsity_sweep import main as sweep
+    out = str(tmp_path / "curve.json")
+    result = sweep(["--height", "64", "--width", "96", "--batch", "1",
+                    "--thresholds", "-1", "--densities", "0.1",
+                    "--train_steps", "1", "--k", "1", "2",
+                    "--weights", "random", "synthetic", "--out", out])
+
+    assert os.path.exists(out)
+    with open(out) as f:
+        data = json.load(f)
+    assert data["meta"]["measurement"].startswith("slope")
+    rows = data["rows"]
+    # per weight source: dense + 1 threshold + 1 edge row
+    assert len(rows) == 6
+    by = {(r["weights"], r["mask_family"], r.get("threshold")): r
+          for r in rows}
+
+    for src in ("random", "synthetic"):
+        dense = by[(src, "dense", None)]
+        assert dense["density"] == 1.0 and dense["gflops"] > 0
+        assert np.isfinite(dense["abs_rel_vs_gt"])
+
+        t = by[(src, "threshold", -1)]
+        # thresh=-1 is the bit-equal dense oracle
+        assert t["disp_mae_vs_dense"] == 0.0
+        assert t["density"] == 1.0
+        assert t["ms_per_image"] > 0
+
+        edge = [r for r in rows if r["weights"] == src
+                and r["mask_family"] == "edge"][0]
+        assert abs(edge["density"] - 0.1) < 0.02
+        assert edge["gflops"] < t["gflops"]
+
+    assert result["rows"] == rows
+
+    from wavelet_monodepth_tpu.tools.plot_sparsity_curve import main as plot
+    png = str(tmp_path / "curve.png")
+    plot([out, "--out", png])
+    assert os.path.getsize(png) > 10_000
