@@ -247,3 +247,197 @@ def import_nyu_wave_decoder(sd: dict, prefix: str = "decoder.") -> dict:
     for up in ("up1", "up2", "up3"):
         params[up] = {"convA": c3(f"{up}.convA")}
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variables -> reference-named torch state dicts,
+# so models trained HERE run in the reference unchanged (the reference
+# loads per-model .pth state dicts, `trainer.py:752-773` /
+# `NYUv2/load_save_utils.py:11-20`). Exact inverses of the importers
+# above; round-trip tested bit-for-bit (tests/test_torch_export.py).
+# ---------------------------------------------------------------------------
+
+def _conv_w_inv(v: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(v), (3, 2, 0, 1)))
+
+
+def _get(tree: dict, path: list[str]) -> np.ndarray:
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _take_bn(sd: dict, params: dict, stats: dict, tprefix: str,
+             jpath: list[str]):
+    sd[f"{tprefix}.weight"] = _get(params, jpath + ["scale"])
+    sd[f"{tprefix}.bias"] = _get(params, jpath + ["bias"])
+    sd[f"{tprefix}.running_mean"] = _get(stats, jpath + ["mean"])
+    sd[f"{tprefix}.running_var"] = _get(stats, jpath + ["var"])
+
+
+def resnet_layers_of_params(params: dict) -> int:
+    """Infer the resnet depth from a ResnetEncoder param tree."""
+    bottleneck = "conv3" in params["layer1_0"]
+
+    def nblocks(li):
+        n = 0
+        while f"layer{li}_{n}" in params:
+            n += 1
+        return n
+
+    cfg = tuple(nblocks(i) for i in (1, 2, 3, 4))
+    table = {(2, 2, 2, 2): 18, (3, 4, 6, 3): 50 if bottleneck else 34,
+             (3, 4, 23, 3): 101, (3, 8, 36, 3): 152}
+    return table[cfg]
+
+
+def export_resnet_encoder(variables: dict, num_layers: int | None = None,
+                          prefix: str = "encoder.",
+                          meta: dict | None = None) -> dict:
+    """ResnetEncoder variables -> torchvision-named state dict (under the
+    reference's 'encoder.' scope by default). `meta` embeds the
+    height/width/use_stereo ints the reference writes into encoder.pth
+    (`trainer.py:743-747`)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if num_layers is None:
+        num_layers = resnet_layers_of_params(params)
+    sd: dict = {}
+    p = prefix
+    sd[f"{p}conv1.weight"] = _conv_w_inv(params["stem"]["conv"]["kernel"])
+    _take_bn(sd, params, stats, f"{p}bn1", ["stem", "bn"])
+    nconvs = 3 if _RESNET_BOTTLENECK[num_layers] else 2
+    for li, nblocks in enumerate(_RESNET_BLOCKS[num_layers]):
+        for b in range(nblocks):
+            t = f"{p}layer{li + 1}.{b}."
+            name = f"layer{li + 1}_{b}"
+            for k in range(1, nconvs + 1):
+                sd[f"{t}conv{k}.weight"] = _conv_w_inv(
+                    params[name][f"conv{k}"]["conv"]["kernel"])
+                _take_bn(sd, params, stats, f"{t}bn{k}",
+                         [name, f"conv{k}", "bn"])
+            if "downsample" in params[name]:
+                sd[f"{t}downsample.0.weight"] = _conv_w_inv(
+                    params[name]["downsample"]["conv"]["kernel"])
+                _take_bn(sd, params, stats, f"{t}downsample.1",
+                         [name, "downsample", "bn"])
+    if meta:
+        sd.update({k: int(v) for k, v in meta.items()})
+    return sd
+
+
+def _convblock_to(sd: dict, t: str, node: dict):
+    sd[f"{t}conv.conv.weight"] = _conv_w_inv(node["conv"]["kernel"])
+    sd[f"{t}conv.conv.bias"] = np.asarray(node["conv"]["bias"])
+
+
+def _waveconv_to(sd: dict, t: str, node: dict):
+    sd[f"{t}0.conv.weight"] = _conv_w_inv(node["squeeze"]["kernel"])
+    sd[f"{t}0.conv.bias"] = np.asarray(node["squeeze"]["bias"])
+    sd[f"{t}2.conv.weight"] = _conv_w_inv(node["conv"]["kernel"])
+    sd[f"{t}2.conv.bias"] = np.asarray(node["conv"]["bias"])
+
+
+def export_kitti_wavelet_decoder(variables: dict) -> dict:
+    """KittiWaveletDecoder params -> the reference's ModuleList names
+    (inverse of import_kitti_wavelet_decoder)."""
+    params = variables["params"]
+    sd: dict = {}
+    idx = 0
+    for i in range(4, 0, -1):
+        _convblock_to(sd, f"decoder.{idx}.", params[f"upconv_{i}_0"])
+        idx += 1
+        _convblock_to(sd, f"decoder.{idx}.", params[f"upconv_{i}_1"])
+        idx += 1
+        if i == 4:
+            _waveconv_to(sd, f"decoder.{idx}.", params["waveconv_4_ll"])
+            idx += 1
+        _waveconv_to(sd, f"decoder.{idx}.", params[f"waveconv_{i}_pos"])
+        idx += 1
+        _waveconv_to(sd, f"decoder.{idx}.", params[f"waveconv_{i}_neg"])
+        idx += 1
+    return sd
+
+
+def export_kitti_baseline_decoder(variables: dict,
+                                  scales=(0, 1, 2, 3)) -> dict:
+    params = variables["params"]
+    sd: dict = {}
+    idx = 0
+    for i in range(4, -1, -1):
+        _convblock_to(sd, f"decoder.{idx}.", params[f"upconv_{i}_0"])
+        idx += 1
+        _convblock_to(sd, f"decoder.{idx}.", params[f"upconv_{i}_1"])
+        idx += 1
+    for s in scales:
+        node = params[f"dispconv_{s}"]
+        sd[f"decoder.{idx}.conv.weight"] = _conv_w_inv(node["kernel"])
+        sd[f"decoder.{idx}.conv.bias"] = np.asarray(node["bias"])
+        idx += 1
+    return sd
+
+
+def export_pose_decoder(variables: dict) -> dict:
+    params = variables["params"]
+    sd: dict = {}
+    for ours, theirs in (("squeeze", "net.0"), ("pose_0", "net.1"),
+                         ("pose_1", "net.2"), ("pose_2", "net.3")):
+        sd[f"{theirs}.weight"] = _conv_w_inv(params[ours]["kernel"])
+        sd[f"{theirs}.bias"] = np.asarray(params[ours]["bias"])
+    return sd
+
+
+def export_pose_cnn(variables: dict) -> dict:
+    params = variables["params"]
+    sd: dict = {}
+    for i in range(7):
+        sd[f"net.{i}.weight"] = _conv_w_inv(params[f"conv_{i}"]["kernel"])
+        sd[f"net.{i}.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
+    sd["pose_conv.weight"] = _conv_w_inv(params["pose_conv"]["kernel"])
+    sd["pose_conv.bias"] = np.asarray(params["pose_conv"]["bias"])
+    return sd
+
+
+def export_densenet_encoder(variables: dict,
+                            prefix: str = "encoder.original_model."
+                                          "features.") -> dict:
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+    sd[f"{prefix}conv0.weight"] = _conv_w_inv(params["conv0"]["kernel"])
+    _take_bn(sd, params, stats, f"{prefix}norm0", ["norm0", "bn"])
+    block_config = (6, 12, 36, 24)
+    for bi, n in enumerate(block_config):
+        for li in range(n):
+            t = f"{prefix}denseblock{bi + 1}.denselayer{li + 1}."
+            name = f"block{bi + 1}_layer{li + 1}"
+            _take_bn(sd, params, stats, f"{t}norm1", [name, "norm1", "bn"])
+            sd[f"{t}conv1.weight"] = _conv_w_inv(
+                params[name]["conv1"]["kernel"])
+            _take_bn(sd, params, stats, f"{t}norm2", [name, "norm2", "bn"])
+            sd[f"{t}conv2.weight"] = _conv_w_inv(
+                params[name]["conv2"]["kernel"])
+        if bi != len(block_config) - 1:
+            t = f"{prefix}transition{bi + 1}."
+            name = f"transition{bi + 1}"
+            _take_bn(sd, params, stats, f"{t}norm", [name, "norm", "bn"])
+            sd[f"{t}conv.weight"] = _conv_w_inv(
+                params[name]["conv"]["kernel"])
+    return sd
+
+
+def export_nyu_wave_decoder(variables: dict,
+                            prefix: str = "decoder.") -> dict:
+    params = variables["params"]
+    sd: dict = {}
+
+    def c3(t, node):
+        sd[f"{prefix}{t}.conv.weight"] = _conv_w_inv(node["kernel"])
+        sd[f"{prefix}{t}.conv.bias"] = np.asarray(node["bias"])
+
+    for n in ("conv2", "wave1_ll", "wave1", "wave2", "wave3"):
+        c3(n, params[n])
+    for up in ("up1", "up2", "up3"):
+        c3(f"{up}.convA", params[up]["convA"])
+    return sd
