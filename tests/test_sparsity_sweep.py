@@ -48,3 +48,20 @@ def test_sweep_and_plot_end_to_end(tmp_path):
     png = str(tmp_path / "curve.png")
     plot([out, "--out", png])
     assert os.path.getsize(png) > 10_000
+
+
+def test_nyu_sweep_runs(tmp_path):
+    """--dataset nyu sweeps DecoderWave (the NYUv2 notebook's axis);
+    edge-mask family is KITTI-only and silently skipped."""
+    from wavelet_monodepth_tpu.tools.sparsity_sweep import main as sweep
+    out = str(tmp_path / "nyu.json")
+    res = sweep(["--dataset", "nyu", "--encoder_type", "mobilenet_light",
+                 "--height", "64", "--width", "96", "--batch", "1",
+                 "--thresholds", "-1", "0.1", "--train_steps", "1",
+                 "--k", "1", "2", "--weights", "random", "--out", out])
+    rows = res["rows"]
+    assert [r["mask_family"] for r in rows] == ["dense", "threshold",
+                                                "threshold"]
+    t = [r for r in rows if r["threshold"] == -1][0]
+    assert t["disp_mae_vs_dense"] == 0.0 and t["density"] == 1.0
+    assert res["meta"]["model"] == "mobilenet_light + NYU DecoderWave"

@@ -40,21 +40,30 @@ import json
 import time
 
 
-def _slope(call, k0: int, k1: int, reps: int = 2) -> float:
+def _slope(call, k0: int, k1: int, reps: int = 2,
+           retries: int = 3) -> float:
     """Seconds per chained eval: warm both K's, min-of-reps difference
-    quotient (bench.py's timing discipline)."""
+    quotient (bench.py's timing discipline). Shared-tenancy swings can
+    exceed the K-delta mid-window (PERF.md landmine); a non-positive
+    slope is re-measured with doubled reps, and the last estimate is
+    returned regardless so callers can flag it."""
     float(call(k0))
     float(call(k1))
 
-    def t(k):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(call(k))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    s = float("nan")
+    for attempt in range(retries):
+        def t(k):
+            ts = []
+            for _ in range(reps * (attempt + 1)):
+                t0 = time.perf_counter()
+                float(call(k))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
 
-    return (t(k1) - t(k0)) / (k1 - k0)
+        s = (t(k1) - t(k0)) / (k1 - k0)
+        if s > 0:
+            return s
+    return s
 
 
 def main(argv=None):
@@ -79,6 +88,9 @@ def main(argv=None):
     from ..utils import maskgen as mg
 
     p = argparse.ArgumentParser(description="score-vs-latency sweep")
+    p.add_argument("--dataset", choices=["kitti", "nyu"], default="kitti",
+                   help="nyu sweeps DecoderWave (the NYUv2 notebook); "
+                        "--torch_model_path is then the model.pth file")
     p.add_argument("--weights", nargs="+", default=["random", "synthetic"],
                    choices=["random", "synthetic", "torch"])
     p.add_argument("--torch_model_path", type=str, default=None)
@@ -86,8 +98,12 @@ def main(argv=None):
                    help="score on a real image instead of synthetic "
                         "scenes (no GT axis)")
     p.add_argument("--num_layers", type=int, default=18)
-    p.add_argument("--height", type=int, default=192)
-    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--encoder_type", default="densenet",
+                   choices=["densenet", "mobilenet_light"],
+                   help="NYU encoder (--dataset nyu)")
+    p.add_argument("--height", type=int, default=None,
+                   help="default 192 (kitti) / 480 (nyu)")
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--thresholds", nargs="+", type=float,
                    default=[-1, 0.01, 0.02, 0.05, 0.1, 0.2])
@@ -97,13 +113,37 @@ def main(argv=None):
                    help="supervised steps for --weights synthetic")
     p.add_argument("--bfloat16", action="store_true",
                    help="sweep in bf16 (the TPU serving dtype)")
-    p.add_argument("--k", nargs=2, type=int, default=(1, 9),
+    p.add_argument("--k", nargs=2, type=int, default=(2, 18),
                    metavar=("K0", "K1"), help="slope-method eval counts")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
+    if args.height is None:
+        args.height = 192 if args.dataset == "kitti" else 480
+    if args.width is None:
+        args.width = 640
 
-    encoder = ResnetEncoder(num_layers=args.num_layers)
-    decoder = KittiWaveletDecoder(num_ch_enc=num_ch_enc(args.num_layers))
+    if args.dataset == "kitti":
+        encoder = ResnetEncoder(num_layers=args.num_layers)
+        decoder = KittiWaveletDecoder(
+            num_ch_enc=num_ch_enc(args.num_layers))
+        model_name = f"resnet{args.num_layers} + KITTI wavelet decoder"
+    else:
+        from ..models.decoders_nyu import NyuDecoderWave
+        if args.encoder_type == "densenet":
+            from ..models.densenet import NUM_CH_ENC, DenseNet161Encoder
+            encoder = DenseNet161Encoder(normalize_input=False)
+            ch = NUM_CH_ENC
+        else:
+            from ..models.mobilenetv2 import MobileNetV2Encoder
+            from ..models.mobilenetv2 import num_ch_enc as mobile_ch
+            encoder = MobileNetV2Encoder(use_last_layer=False)
+            ch = mobile_ch(False)
+        decoder = NyuDecoderWave(num_ch_enc=tuple(ch), decoder_width=0.5)
+        model_name = f"{args.encoder_type} + NYU DecoderWave"
+        if args.densities:
+            print("note: the edge-mask family needs mask_override "
+                  "(KITTI decoder only) — skipping --densities for nyu")
+            args.densities = []
     rng = jax.random.PRNGKey(0)
 
     # ---- inputs: synthetic scenes with GT disparity (or a real image)
@@ -124,6 +164,23 @@ def main(argv=None):
     enc_vars = encoder.init(rng, x1)
     dec_vars = decoder.init(rng, encoder.apply(enc_vars, x1))
 
+    # the NYU decoder predicts at HALF input resolution (like the
+    # reference, whose eval upsamples 2x) — fit GT to the output shape
+    # (block mean; exact integer factors only)
+    out_hw = jax.eval_shape(
+        lambda e, d, i: decoder.apply(d, encoder.apply(e, i))[("disp", 0)],
+        enc_vars, dec_vars, x).shape[1:3]
+
+    def fit_to_output(arr):
+        n, hh, ww, c = arr.shape
+        h, w = out_hw
+        if (hh, ww) == (h, w):
+            return arr
+        return arr.reshape(n, h, hh // h, w, ww // w, c).mean((2, 4))
+
+    if gt is not None:
+        gt = fit_to_output(gt)
+
     # ---- weight sources
     def synthetic_train(ev, dv, steps):
         """Supervised L1-on-disparity training on fresh synthetic scenes:
@@ -134,7 +191,7 @@ def main(argv=None):
         params = {"enc": ev, "dec": dv}
         opt_state = tx.init(params)
         xs = jnp.asarray(mg.scene_image(gt_disp, seed=0))
-        ys = jnp.asarray(gt_disp)
+        ys = jnp.asarray(fit_to_output(gt_disp))
 
         def loss_fn(ps, img, disp):
             out = decoder.apply(ps["dec"], encoder.apply(ps["enc"], img))
@@ -166,12 +223,18 @@ def main(argv=None):
                 raise SystemExit("--weights torch needs "
                                  "--torch_model_path")
             from . import torch_import as ti
-            ev = ti.import_resnet_encoder(
-                ti.load_pth(os.path.join(args.torch_model_path,
-                                         "encoder.pth")), args.num_layers)
-            dv = ti.import_kitti_wavelet_decoder(
-                ti.load_pth(os.path.join(args.torch_model_path,
-                                         "depth.pth")))
+            if args.dataset == "kitti":
+                ev = ti.import_resnet_encoder(
+                    ti.load_pth(os.path.join(args.torch_model_path,
+                                             "encoder.pth")),
+                    args.num_layers)
+                dv = ti.import_kitti_wavelet_decoder(
+                    ti.load_pth(os.path.join(args.torch_model_path,
+                                             "depth.pth")))
+            else:
+                sd = ti.load_pth(args.torch_model_path)
+                ev = ti.import_densenet_encoder(sd)
+                dv = ti.import_nyu_wave_decoder(sd)
             sources[src] = (ev, dv)
 
     dtype = jnp.bfloat16 if args.bfloat16 else jnp.float32
@@ -213,6 +276,12 @@ def main(argv=None):
     dummy_masks = None
     rows = []
 
+    def lat(spf):
+        r = {"ms_per_image": spf * 1e3 / args.batch}
+        if not spf > 0:           # tenancy swamped the window
+            r["latency_unreliable"] = True
+        return r
+
     def score(disp, dense_disp):
         r = {"disp_mae_vs_dense": float(np.abs(disp - dense_disp).mean())}
         denom = np.maximum(np.abs(dense_disp), 1e-3)
@@ -248,8 +317,7 @@ def main(argv=None):
         base = {"weights": src, "mask_family": "dense", "threshold": None,
                 "density": 1.0,
                 "gflops": float(np.mean(counted[("total_ops", -1)]))
-                / 1e9,
-                "ms_per_image": dense_spf * 1e3 / args.batch}
+                / 1e9, **lat(dense_spf)}
         base.update(score(dense_disp, dense_disp))
         rows.append(base)
         print(f"[{src}] dense: {base['ms_per_image']:.3f} ms/img "
@@ -268,7 +336,7 @@ def main(argv=None):
                    "threshold": th,
                    "density": float(compute_density(out)),
                    "gflops": float(np.mean(out[("total_ops", -1)])) / 1e9,
-                   "ms_per_image": spf * 1e3 / args.batch}
+                   **lat(spf)}
             row.update(score(np.asarray(out[("disp", 0)], np.float32),
                              dense_disp))
             rows.append(row)
@@ -290,7 +358,7 @@ def main(argv=None):
                    "threshold": ratio, "target_density": dens,
                    "density": float(actual),
                    "gflops": float(np.mean(out[("total_ops", -1)])) / 1e9,
-                   "ms_per_image": spf * 1e3 / args.batch}
+                   **lat(spf)}
             row.update(score(np.asarray(out[("disp", 0)], np.float32),
                              dense_disp))
             rows.append(row)
@@ -300,7 +368,7 @@ def main(argv=None):
 
     result = {
         "meta": {
-            "model": f"resnet{args.num_layers} + wavelet decoder",
+            "model": model_name,
             "shape": [args.batch, args.height, args.width],
             "dtype": "bfloat16" if args.bfloat16 else "float32",
             "device": str(jax.devices()[0]),
