@@ -146,26 +146,20 @@ def pose_weights(tmp_path_factory):
     sd["conv1.weight"] = rng.randn(64, 6, 7, 7).astype(np.float32) * 0.05
     _save_pth(folder / "pose_encoder.pth", sd)
 
-    # pose decoder: reverse our flax init back to the reference's
-    # 'net.<i>' names so the shapes are right by construction
+    # pose decoder: export our flax init through the real exporter
+    # (round-trip-tested in test_torch_export.py)
     from wavelet_monodepth_tpu.models.pose import PoseDecoder
     from wavelet_monodepth_tpu.models.resnet import (ResnetEncoder,
                                                      num_ch_enc)
+    from wavelet_monodepth_tpu.tools import torch_import as ti
     rngk = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 64, 64, 6), jnp.float32)
     enc = ResnetEncoder(num_layers=18, num_input_images=2)
     ev = enc.init(rngk, x)
     dec = PoseDecoder(num_ch_enc=num_ch_enc(18), num_input_features=1,
                       num_frames_to_predict_for=2)
-    dv = dec.init(rngk, [enc.apply(ev, x)])["params"]
-    names = {"squeeze": "net.0", "pose_0": "net.1", "pose_1": "net.2",
-             "pose_2": "net.3"}
-    pose_sd = {}
-    for ours, theirs in names.items():
-        pose_sd[f"{theirs}.weight"] = np.transpose(
-            np.asarray(dv[ours]["kernel"]), (3, 2, 0, 1))
-        pose_sd[f"{theirs}.bias"] = np.asarray(dv[ours]["bias"])
-    _save_pth(folder / "pose.pth", pose_sd)
+    dv = dec.init(rngk, [enc.apply(ev, x)])
+    _save_pth(folder / "pose.pth", ti.export_pose_decoder(dv))
     return str(folder)
 
 
@@ -254,11 +248,12 @@ def nyu_weights(tmp_path_factory):
     """Fabricate a reference-layout model.pth: real torchvision-named
     densenet161 features (the parity suite's _tv_densenet161 twin) under
     'encoder.original_model.features.', plus a DecoderWave state dict
-    reversed from our flax init (shapes right by construction)."""
+    produced by the real exporter (round-trip-tested elsewhere)."""
     from test_reference_parity import _tv_densenet161
     from wavelet_monodepth_tpu.models.decoders_nyu import NyuDecoderWave
     from wavelet_monodepth_tpu.models.densenet import (DenseNet161Encoder,
                                                        NUM_CH_ENC)
+    from wavelet_monodepth_tpu.tools import torch_import as ti
 
     sd = {}
     torch.manual_seed(0)
@@ -273,17 +268,8 @@ def nyu_weights(tmp_path_factory):
     enc = DenseNet161Encoder(normalize_input=False)
     ev = enc.init(rngk, x)
     dec = NyuDecoderWave(num_ch_enc=tuple(NUM_CH_ENC), decoder_width=0.5)
-    dv = dec.init(rngk, enc.apply(ev, x))["params"]
-
-    def put(name, leaf):
-        sd[f"decoder.{name}.conv.weight"] = np.transpose(
-            np.asarray(leaf["kernel"]), (3, 2, 0, 1))
-        sd[f"decoder.{name}.conv.bias"] = np.asarray(leaf["bias"])
-
-    for n in ("conv2", "wave1_ll", "wave1", "wave2", "wave3"):
-        put(n, dv[n])
-    for up in ("up1", "up2", "up3"):
-        put(f"{up}.convA", dv[up]["convA"])
+    dv = dec.init(rngk, enc.apply(ev, x))
+    sd.update(ti.export_nyu_wave_decoder(dv))
 
     path = tmp_path_factory.mktemp("nyu_w") / "model.pth"
     _save_pth(path, sd)

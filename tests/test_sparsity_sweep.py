@@ -8,6 +8,19 @@ import os
 import numpy as np
 
 
+def test_density_and_mask_count_exact_in_bf16():
+    """Counting masks must accumulate in f32: a bf16 mask summed in its
+    own dtype rounds integer counts past 256 (the committed round-4
+    artifact briefly reported density 1.0078 > 1)."""
+    import jax.numpy as jnp
+
+    from wavelet_monodepth_tpu.ops.sparse import (compute_density,
+                                                  mask_count)
+    m = jnp.ones((1, 96, 160, 1), jnp.bfloat16)          # 15360 sites
+    assert float(mask_count(m)[0]) == 96 * 160
+    assert float(compute_density({("wavelet_mask", 0): m})) == 1.0
+
+
 def test_sweep_and_plot_end_to_end(tmp_path):
     from wavelet_monodepth_tpu.tools.sparsity_sweep import main as sweep
     out = str(tmp_path / "curve.json")

@@ -138,7 +138,9 @@ def compute_density(outputs: dict, per_image: bool = False) -> Array:
     for i in range(4):
         k = ("wavelet_mask", i)
         if k in outputs:
-            m = outputs[k]
+            # f32 accumulation: a bf16 mask summed in its own dtype
+            # rounds the integer count (density > 1 artifacts)
+            m = outputs[k].astype(jnp.float32)
             if per_image:
                 num = num + jnp.sum(m, axis=(1, 2, 3))
             else:
@@ -213,5 +215,7 @@ def ops_idwt(yl_shape) -> Array:
 def mask_count(mask: Array) -> Array:
     """Active sites per image, shape (N,) — makes every op count
     per-image so batched sparse decode accounts like N reference
-    batch-1 runs (the reference is batch-1 only, `depth_decoder.py:297`)."""
-    return jnp.sum(mask, axis=(1, 2, 3))
+    batch-1 runs (the reference is batch-1 only, `depth_decoder.py:297`).
+    Accumulates in f32: summing a bf16 mask in its own dtype loses
+    integer exactness past 256 sites (~0.5% count error at 245k)."""
+    return jnp.sum(mask.astype(jnp.float32), axis=(1, 2, 3))

@@ -357,41 +357,42 @@ def check_nyu_edges(root: str) -> List[str]:
 # driver
 # ---------------------------------------------------------------------------
 
-# (env var, description of what to mount, check(value) -> problems)
-MOUNTS: List[Tuple[str, str, Callable[[str], List[str]]]] = [
+# (env var, description of what to mount, check(value, env) -> problems)
+MOUNTS: List[Tuple[str, str, Callable[[str, dict], List[str]]]] = [
     ("WMD_KITTI_DATA",
      "KITTI raw root with splits/eigen/{test_files.txt,gt_depths.npz}",
-     check_kitti_data),
+     lambda v, e: check_kitti_data(v)),
     ("WMD_KITTI_WEIGHTS",
      "reference R18 640x192 folder (encoder.pth/depth.pth)",
-     lambda v: check_kitti_weights(v, 18, 192, 640)),
+     lambda v, e: check_kitti_weights(v, 18, 192, 640)),
     ("WMD_KITTI_WEIGHTS_R50",
      "reference R50 640x192 folder",
-     lambda v: check_kitti_weights(v, 50, 192, 640)),
+     lambda v, e: check_kitti_weights(v, 50, 192, 640)),
     ("WMD_KITTI_WEIGHTS_R18_1024",
      "reference R18 1024x320 folder",
-     lambda v: check_kitti_weights(v, 18, 320, 1024)),
+     lambda v, e: check_kitti_weights(v, 18, 320, 1024)),
     ("WMD_KITTI_WEIGHTS_R50_1024",
      "reference R50 1024x320 folder",
-     lambda v: check_kitti_weights(v, 50, 320, 1024)),
+     lambda v, e: check_kitti_weights(v, 50, 320, 1024)),
     ("WMD_KITTI_ODOM_DATA",
      "KITTI odometry root (sequences/09|10/image_2, poses/09|10.txt)",
-     check_odom_data),
+     lambda v, e: check_odom_data(v)),
     ("WMD_KITTI_POSE_WEIGHTS",
      "pose folder (pose_encoder.pth/pose.pth, pair-input resnet)",
-     check_pose_weights),
+     lambda v, e: check_pose_weights(v)),
     ("WMD_NYU_MAT",
      "nyu_depth_v2_labeled.mat (official v7.3)",
-     check_nyu_mat),
+     lambda v, e: check_nyu_mat(v)),
     ("WMD_NYU_SPLITS",
      "toolbox splits.mat with testNdxs",
-     lambda v: check_nyu_splits(v, os.environ.get("WMD_NYU_MAT"))),
+     # cross-check against the mat from the SAME env mapping
+     lambda v, e: check_nyu_splits(v, e.get("WMD_NYU_MAT"))),
     ("WMD_NYU_WEIGHTS",
      "reference DenseNet161 DecoderWave model.pth (the file)",
-     check_nyu_weights),
+     lambda v, e: check_nyu_weights(v)),
     ("WMD_NYU_EDGES",
      "NYUv2-OC++ edge pngs dir (optional, enables the eps_acc gate)",
-     check_nyu_edges),
+     lambda v, e: check_nyu_edges(v)),
 ]
 
 
@@ -408,7 +409,7 @@ def run_checks(env=os.environ, out=None) -> int:
                   "(see GOLDEN_GATES.md for the source)", file=out)
             continue
         try:
-            probs = check(value)
+            probs = check(value, env)
         except Exception as e:  # checker crash is a finding, not a crash
             probs = [f"validator error: {type(e).__name__}: {e}"]
         if probs:

@@ -66,6 +66,15 @@ def main(argv=None):
         rows += data["rows"]
         meta = meta or data.get("meta", {})
 
+    # tenancy-swamped rows carry latency_unreliable (sparsity_sweep's
+    # slope retries gave up) — never plot a negative/NaN latency
+    bad = [r for r in rows
+           if r.get("latency_unreliable") or not r["ms_per_image"] > 0]
+    if bad:
+        print(f"dropping {len(bad)} row(s) with unreliable latency "
+              "(latency_unreliable / non-positive slope)")
+        rows = [r for r in rows if r not in bad]
+
     skey = _score_key(rows)
     dense = {r["weights"]: r for r in rows if r["mask_family"] == "dense"}
 

@@ -121,6 +121,12 @@ def main(argv=None):
         args.height = 192 if args.dataset == "kitti" else 480
     if args.width is None:
         args.width = 640
+    if args.torch_model_path and "torch" not in args.weights:
+        # a checkpoint path is an unambiguous ask — don't silently
+        # measure random weights instead
+        print("note: --torch_model_path given; adding 'torch' to "
+              "--weights")
+        args.weights = list(args.weights) + ["torch"]
 
     if args.dataset == "kitti":
         encoder = ResnetEncoder(num_layers=args.num_layers)
@@ -190,8 +196,12 @@ def main(argv=None):
         tx = optax.adam(1e-4)
         params = {"enc": ev, "dec": dv}
         opt_state = tx.init(params)
-        xs = jnp.asarray(mg.scene_image(gt_disp, seed=0))
-        ys = jnp.asarray(fit_to_output(gt_disp))
+        # train on DIFFERENT scenes than the scoring batch (seed 0), so
+        # abs_rel_vs_gt measures generalization, not training-set fit
+        train_disp = mg.synthetic_depth_scene(
+            args.batch, args.height, args.width, seed=100)
+        xs = jnp.asarray(mg.scene_image(train_disp, seed=100))
+        ys = jnp.asarray(fit_to_output(train_disp))
 
         def loss_fn(ps, img, disp):
             out = decoder.apply(ps["dec"], encoder.apply(ps["enc"], img))
