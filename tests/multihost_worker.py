@@ -76,11 +76,38 @@ def main():
     k = state.params["encoder"]["stem"]["conv"]["kernel"]
     fingerprint = float(jax.numpy.sqrt(jax.numpy.sum(k * k)))
 
+    # CLI bring-up helpers under real multi-process conditions
+    nproc_, is_main, local_b, axis = mesh_lib.multihost_setup(4, 1)
+    assert (nproc_, local_b, axis) == (nproc, 4 // nproc,
+                                       jax.device_count())
+    assert is_main == (pid == 0)
+    assert mesh_lib.agree_across_processes(7, "probe") == 7
+    try:  # a partial data mesh must be rejected under multi-host
+        mesh_lib.multihost_setup(4, 2)
+        bad_axis_rejected = False
+    except SystemExit:
+        bad_axis_rejected = True
+
+    # orbax checkpointing is COLLECTIVE: every process calls save (the
+    # rank-0-only gating this guards against deadlocks the pod) and
+    # every process calls restore
+    from wavelet_monodepth_tpu.utils.checkpoint import (load_checkpoint,
+                                                        save_checkpoint)
+    ckpt_dir = os.path.join(os.path.dirname(out_path), "ckpt_shared")
+    folder = save_checkpoint(ckpt_dir, 0, state,
+                             {"epoch": 0} if pid == 0 else None,
+                             backend="orbax")
+    restored = load_checkpoint(folder, state)
+    rk = restored.params["encoder"]["stem"]["conv"]["kernel"]
+    orbax_fingerprint = float(np.sqrt(np.sum(np.asarray(rk) ** 2)))
+
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "shard": shard, "losses": losses,
                    "global_batch_dim": int(batch_dim),
                    "n_devices": jax.device_count(),
-                   "fingerprint": fingerprint}, f)
+                   "fingerprint": fingerprint,
+                   "bad_axis_rejected": bad_axis_rejected,
+                   "orbax_fingerprint": orbax_fingerprint}, f)
 
 
 if __name__ == "__main__":

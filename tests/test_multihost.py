@@ -76,6 +76,27 @@ def test_two_processes_assemble_global_batch_and_step(worker_results):
     assert r0["fingerprint"] == pytest.approx(r1["fingerprint"], rel=1e-6)
 
 
+def test_multihost_helpers_and_collective_checkpoint(worker_results):
+    """multihost_setup rejects partial data meshes, agreement probes
+    pass, and the orbax save/restore ran COLLECTIVELY on both processes
+    (every process calls it — rank-0-only gating would deadlock) with
+    the restored params matching the saved ones."""
+    r0, r1 = sorted(worker_results, key=lambda r: r["pid"])
+    assert r0["bad_axis_rejected"] and r1["bad_axis_rejected"]
+    for r in (r0, r1):
+        assert r["orbax_fingerprint"] == pytest.approx(r["fingerprint"],
+                                                       rel=1e-6)
+
+
+def test_multihost_setup_single_process_passthrough():
+    """Single-process: batch and data_axis pass through unchanged (a
+    partial mesh on one host is legitimate)."""
+    from wavelet_monodepth_tpu.parallel import mesh as mesh_lib
+    nproc, is_main, local_batch, axis = mesh_lib.multihost_setup(12, 2)
+    assert (nproc, is_main, local_batch, axis) == (1, True, 12, 2)
+    assert mesh_lib.agree_across_processes(7, "probe") == 7
+
+
 def test_multihost_losses_match_single_process(worker_results):
     """The 2-process run must compute the same steps as one process on
     the same global batch — same losses within f32 reduction noise."""

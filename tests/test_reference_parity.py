@@ -540,14 +540,15 @@ def test_nyu_densenet_encoder_normalize_is_noop(ref_nyu_encoder_cls):
     ref = _randomized_encoder(ref_nyu_encoder_cls, 20)
     g = torch.Generator().manual_seed(21)
     x = torch.rand(1, 3, 64, 96, generator=g)
+    x0 = x.clone()        # pristine copy BEFORE any forward
     with torch.no_grad():
-        out_on = ref(x.clone())
+        out_on = ref(x)   # pass x itself so in-place mutation would show
         ref.normalize_input = False
-        out_off = ref(x.clone())
+        out_off = ref(x)
     for a, b in zip(out_on, out_off):
         assert torch.equal(a, b)
     # and the input itself was not mutated in place either
-    assert torch.equal(x, x.clone())
+    assert torch.equal(x, x0)
 
 
 def test_nyu_densenet_encoder_parity(ref_nyu_encoder_cls):

@@ -28,15 +28,59 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     rides ICI. On the CPU backend (multi-process tests) cross-process
     collectives need gloo, selected here before bring-up."""
     import os
-    if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ \
-            and coordinator_address is None:
-        return  # single-process
+    if (num_processes is None and coordinator_address is None
+            and "JAX_NUM_PROCESSES" not in os.environ
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ):
+        return  # single-process: nothing configured or discoverable
     if jax.config.jax_platforms == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=None if num_processes is None else int(num_processes),
         process_id=None if process_id is None else int(process_id))
+
+
+def multihost_setup(batch_size: int, data_axis: int):
+    """The per-process bring-up policy shared by both train CLIs:
+    validates the global batch divides across processes, computes the
+    local feed size, and — multi-host only — pins the data axis to the
+    FULL global device count: a partial data mesh cannot be fed from
+    processes that own none of its devices (put_global would find no
+    addressable shard). Returns (nproc, is_main, local_batch,
+    data_axis)."""
+    nproc, is_main = jax.process_count(), jax.process_index() == 0
+    assert batch_size % nproc == 0, \
+        f"batch_size {batch_size} must divide by {nproc} processes"
+    local_batch = batch_size // nproc
+    if nproc > 1:
+        ndev = jax.device_count()
+        if data_axis > 1 and data_axis != ndev:
+            raise SystemExit(
+                f"--data_axis {data_axis} with {nproc} processes: a "
+                f"multi-host data mesh must span all {ndev} global "
+                "devices (processes owning none of the mesh's devices "
+                "cannot feed it)")
+        data_axis = ndev
+    return nproc, is_main, local_batch, data_axis
+
+
+def agree_across_processes(value: int, what: str) -> int:
+    """Assert an integer decision (e.g. the auto-resume epoch) is
+    identical on every process and return it. Divergence means per-host
+    state differs (typically a non-shared log_dir on auto-resume) —
+    fail loudly NOW instead of hanging later when the hosts' step
+    counts drift apart inside a collective."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    vals = np.asarray(
+        multihost_utils.process_allgather(np.int32(value))).ravel()
+    if not (vals == vals[0]).all():
+        raise SystemExit(
+            f"{what} disagrees across processes: {vals.tolist()} — "
+            "multi-host runs need a shared log_dir (every host must "
+            "see the same checkpoints)")
+    return int(vals[0])
 
 
 def warmup_collectives(mesh: Mesh) -> None:
@@ -51,8 +95,8 @@ def warmup_collectives(mesh: Mesh) -> None:
     (one tiny psum) on TPU pods."""
     if jax.process_count() == 1:
         return
-    local_rows = max(1, mesh.shape["data"] // jax.process_count())
-    x = put_global(np.ones((local_rows, 1), np.float32),
+    rows_per_proc = max(1, mesh.shape["data"] // jax.process_count())
+    x = put_global(np.ones((rows_per_proc, 1), np.float32),
                    batch_sharding(mesh))
     total = jax.jit(jax.numpy.sum, out_shardings=replicated(mesh))(x)
     jax.block_until_ready(total)

@@ -48,14 +48,11 @@ def main(argv=None):
     # global sizes decide the (lockstep) step counts; each process
     # loads batch_size/nproc items of its own shard per step
     n_train_global, n_val_global = len(train_files), len(val_files)
-    assert opts.batch_size % nproc == 0, \
-        f"batch_size {opts.batch_size} must divide by {nproc} processes"
-    local_batch = opts.batch_size // nproc
+    _, _, local_batch, opts.data_axis = mesh_lib.multihost_setup(
+        opts.batch_size, opts.data_axis)
     if nproc > 1:
         train_files = mesh_lib.process_shard(train_files)
         val_files = mesh_lib.process_shard(val_files)
-        if opts.data_axis <= 1:
-            opts.data_axis = jax.device_count()
 
     frame_idxs = list(opts.all_frame_ids)
     # the step consumes color_aug only at scale 0 and (without
@@ -95,6 +92,10 @@ def main(argv=None):
                 os.path.basename(resume_folder).split("_")[1]) + 1
             print(f"auto-resume: restoring {resume_folder}, "
                   f"continuing at epoch {start_epoch}")
+        # every host must resolve the SAME epoch (shared log_dir) or
+        # the pod's step counts diverge — fail loudly, don't hang
+        start_epoch = mesh_lib.agree_across_processes(
+            start_epoch, "auto-resume epoch")
     if resume_folder:
         state = ckpt.load_checkpoint(resume_folder, state)
 
@@ -176,13 +177,19 @@ def main(argv=None):
                         mesh_lib.local_tree(voutputs), opts, step)
             step += 1
 
-        if (epoch + 1) % opts.save_frequency == 0 and is_main:
+        if (epoch + 1) % opts.save_frequency == 0 and (
+                is_main or opts.checkpoint_backend == "orbax"):
+            # orbax save has all-process barriers — EVERY process must
+            # call it or the pod deadlocks; msgpack writes on rank 0
+            # only. meta/opt.json are written once (rank 0).
             meta = {"height": opts.height, "width": opts.width,
                     "use_stereo": int(opts.use_stereo), "epoch": epoch}
             folder = ckpt.save_checkpoint(
-                log_path, epoch, state, meta, opts,
+                log_path, epoch, state,
+                meta if is_main else None, opts if is_main else None,
                 backend=opts.checkpoint_backend)
-            print(f"saved checkpoint to {folder}")
+            if is_main:
+                print(f"saved checkpoint to {folder}")
     if logger is not None:
         logger.close()
 

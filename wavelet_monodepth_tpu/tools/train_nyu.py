@@ -36,14 +36,11 @@ def main(argv=None):
         opts.data_path, is_224=opts.use_224,
         uint8_feed=not opts.float_feed)
     n_train_global = len(train_ds)
-    assert opts.batch_size % nproc == 0, \
-        f"batch_size {opts.batch_size} must divide by {nproc} processes"
-    local_batch = opts.batch_size // nproc
+    _, _, local_batch, opts.data_axis = mesh_lib.multihost_setup(
+        opts.batch_size, opts.data_axis)
     if nproc > 1:
         train_ds.pairs = mesh_lib.process_shard(train_ds.pairs)
         test_ds.pairs = mesh_lib.process_shard(test_ds.pairs)
-        if opts.data_axis <= 1:
-            opts.data_axis = jax.device_count()
     setup = NyuTrainSetup(opts)
     state = setup.init_state(jax.random.PRNGKey(0))
     start_epoch = 0
@@ -57,6 +54,10 @@ def main(argv=None):
                 os.path.basename(resume_folder).split("_")[1]) + 1
             print(f"auto-resume: restoring {resume_folder}, "
                   f"continuing at epoch {start_epoch}")
+        # every host must resolve the SAME epoch (shared log_dir) or
+        # the pod's step counts diverge — fail loudly, don't hang
+        start_epoch = mesh_lib.agree_across_processes(
+            start_epoch, "auto-resume epoch")
     if resume_folder:
         state = ckpt.load_checkpoint(resume_folder, state)
 
@@ -129,6 +130,10 @@ def main(argv=None):
                 vdepth_n = (depth_norm(vdepth) if opts.disparity
                             else vdepth)
                 vlosses = setup.compute_losses(outputs, vdepth_n)
+                # the val GT DWT dispatches a program — run it on EVERY
+                # process (lockstep invariant), log on rank 0 only
+                vgt_wav = (haar_dwt_J(vdepth_n, 4) if opts.use_wavelets
+                           else None)
                 if is_main:
                     logger.scalars(
                         "val", {k: float(v) for k, v in vlosses.items()},
@@ -137,17 +142,20 @@ def main(argv=None):
                         "val", mesh_lib.local_rows(vimg_f),
                         mesh_lib.local_rows(vdepth_n),
                         mesh_lib.local_tree(outputs),
-                        mesh_lib.local_tree(
-                            haar_dwt_J(vdepth_n, 4)) if opts.use_wavelets
-                        else None, step)
+                        mesh_lib.local_tree(vgt_wav), step)
             t_end = time.time()
             step += 1
-        if is_main:
-            folder = ckpt.save_checkpoint(log_path, epoch, state,
-                                          {"epoch": epoch,
-                                           "use_224": opts.use_224}, opts,
-                                          backend=opts.checkpoint_backend)
-            print(f"saved checkpoint to {folder}")
+        if is_main or opts.checkpoint_backend == "orbax":
+            # orbax save has all-process barriers — EVERY process must
+            # call it or the pod deadlocks; msgpack writes on rank 0
+            # only. meta/opt.json are written once (rank 0).
+            meta = {"epoch": epoch, "use_224": opts.use_224}
+            folder = ckpt.save_checkpoint(
+                log_path, epoch, state,
+                meta if is_main else None, opts if is_main else None,
+                backend=opts.checkpoint_backend)
+            if is_main:
+                print(f"saved checkpoint to {folder}")
     if logger is not None:
         logger.close()
 
