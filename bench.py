@@ -151,22 +151,10 @@ def main():
             return carry + d.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def slope(call, k0, k1, reps=2):
-        """Slope-measured seconds per chained eval: warm both K's, then
-        min-of-reps at each, difference over (k1 - k0) — the one timing
-        discipline that survives the relay dispatch floor (PERF.md)."""
-        float(call(k0))
-        float(call(k1))
-
-        def t(k):
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(call(k))
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
-
-        return (t(k1) - t(k0)) / (k1 - k0)
+    # the shared slope-timing discipline (warmup both K's, min-of-reps,
+    # tenancy retry on non-positive slopes) — one implementation for
+    # bench.py / bench_grid / sparsity_sweep so it cannot drift
+    from wavelet_monodepth_tpu.utils.timing import slope_time as slope
 
     def spf(ev, dv, img, mo, mode, backend=False, reps=2):
         """slope-measured seconds per frame"""

@@ -77,10 +77,8 @@ def main():
     fingerprint = float(jax.numpy.sqrt(jax.numpy.sum(k * k)))
 
     # CLI bring-up helpers under real multi-process conditions
-    nproc_, is_main, local_b, axis = mesh_lib.multihost_setup(4, 1)
-    assert (nproc_, local_b, axis) == (nproc, 4 // nproc,
-                                       jax.device_count())
-    assert is_main == (pid == 0)
+    local_b, axis = mesh_lib.multihost_setup(4, 1)
+    assert (local_b, axis) == (4 // nproc, jax.device_count())
     assert mesh_lib.agree_across_processes(7, "probe") == 7
     try:  # a partial data mesh must be rejected under multi-host
         mesh_lib.multihost_setup(4, 2)

@@ -158,3 +158,33 @@ def test_nyu_train_cli_data_parallel(nyu_zip, tmp_path_factory):
                 "--log_frequency", "1", "--data_axis", "2"])
     assert os.path.exists(os.path.join(
         log_dir, "dp", "models", "weights_0", "state.msgpack"))
+
+
+def test_evaluate_adopts_normalize_input_from_opt_json(tmp_path, capsys):
+    """A checkpoint trained with normalize_input=True (the pre-round-4
+    in-repo default — real ImageNet normalization, a documented
+    deviation) must be evaluated the way it was trained: the eval CLI
+    adopts the setting from the run's saved opt.json; the CLI flag and
+    reference checkpoints (no opt.json) are unaffected."""
+    import json
+
+    from wavelet_monodepth_tpu.tools.evaluate_nyu import \
+        adopt_normalize_input
+
+    models = tmp_path / "models"
+    weights = models / "weights_3"
+    weights.mkdir(parents=True)
+    (models / "opt.json").write_text(json.dumps(
+        {"normalize_input": True, "encoder_type": "densenet"}))
+    assert adopt_normalize_input(str(weights), False) is True
+    out = capsys.readouterr().out
+    assert "adopting normalize_input=True" in out
+
+    (models / "opt.json").write_text(json.dumps(
+        {"normalize_input": False}))
+    assert adopt_normalize_input(str(weights), False) is False
+    # no opt.json (reference export / hand-assembled folder): CLI wins
+    (models / "opt.json").unlink()
+    assert adopt_normalize_input(str(weights), False) is False
+    assert adopt_normalize_input(str(weights), True) is True
+    assert adopt_normalize_input(None, False) is False

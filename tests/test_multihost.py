@@ -92,8 +92,12 @@ def test_multihost_setup_single_process_passthrough():
     """Single-process: batch and data_axis pass through unchanged (a
     partial mesh on one host is legitimate)."""
     from wavelet_monodepth_tpu.parallel import mesh as mesh_lib
-    nproc, is_main, local_batch, axis = mesh_lib.multihost_setup(12, 2)
-    assert (nproc, is_main, local_batch, axis) == (1, True, 12, 2)
+    local_batch, axis = mesh_lib.multihost_setup(12, 2)
+    assert (local_batch, axis) == (12, 2)
+    # batch must divide across the data mesh — clean SystemExit at the
+    # CLI, not a sharding error deep inside the prefetch thread
+    with pytest.raises(SystemExit):
+        mesh_lib.multihost_setup(7, 2)
     assert mesh_lib.agree_across_processes(7, "probe") == 7
 
 

@@ -42,15 +42,18 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 
 def multihost_setup(batch_size: int, data_axis: int):
     """The per-process bring-up policy shared by both train CLIs:
-    validates the global batch divides across processes, computes the
-    local feed size, and — multi-host only — pins the data axis to the
-    FULL global device count: a partial data mesh cannot be fed from
-    processes that own none of its devices (put_global would find no
-    addressable shard). Returns (nproc, is_main, local_batch,
-    data_axis)."""
-    nproc, is_main = jax.process_count(), jax.process_index() == 0
-    assert batch_size % nproc == 0, \
-        f"batch_size {batch_size} must divide by {nproc} processes"
+    validates the global batch divides across processes AND across the
+    data mesh it will be sharded over, computes the local feed size,
+    and — multi-host only — pins the data axis to the FULL global
+    device count: a partial data mesh cannot be fed from processes
+    that own none of its devices (put_global would find no addressable
+    shard). Explicit raises, not asserts: these guard CLI input and
+    must survive `python -O`. Returns (local_batch, data_axis)."""
+    nproc = jax.process_count()
+    if batch_size % nproc:
+        raise SystemExit(
+            f"--batch_size {batch_size} must divide by {nproc} "
+            "processes (each host feeds an equal local slice)")
     local_batch = batch_size // nproc
     if nproc > 1:
         ndev = jax.device_count()
@@ -61,7 +64,13 @@ def multihost_setup(batch_size: int, data_axis: int):
                 "devices (processes owning none of the mesh's devices "
                 "cannot feed it)")
         data_axis = ndev
-    return nproc, is_main, local_batch, data_axis
+    if data_axis > 1 and batch_size % data_axis:
+        raise SystemExit(
+            f"--batch_size {batch_size} must divide across the "
+            f"{data_axis}-device data mesh (each device takes an equal "
+            "slice of the global batch) — fail here, not deep inside "
+            "the prefetch thread's device_put")
+    return local_batch, data_axis
 
 
 def agree_across_processes(value: int, what: str) -> int:

@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import functools
 import json
-import time
 
 
 CONFIGS = {
@@ -52,18 +51,10 @@ def main(argv=None):
 
     results = []
 
+    from ..utils.timing import slope_time
+
     def slope(fn):
-        for k in (args.k0, args.k1):
-            fn(k)
-        ts = {}
-        for k in (args.k0, args.k1):
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                fn(k)
-                best = min(best, time.perf_counter() - t0)
-            ts[k] = best
-        return (ts[args.k1] - ts[args.k0]) / (args.k1 - args.k0)
+        return slope_time(fn, args.k0, args.k1, reps=args.reps)
 
     from ..utils import maskgen as mg
 

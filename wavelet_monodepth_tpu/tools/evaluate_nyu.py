@@ -18,6 +18,28 @@ import os
 import numpy as np
 
 
+def adopt_normalize_input(load_weights_folder, cli_flag: bool) -> bool:
+    """A checkpoint trained in this repo with normalize_input=True (the
+    pre-round-4 default; real ImageNet normalization, a documented
+    deviation — the reference's flag is a silent no-op) must be
+    evaluated the way it was trained. opt.json sits next to the
+    weights_<epoch> folders; adopt its setting unless the CLI already
+    asked for normalization."""
+    if cli_flag or not load_weights_folder:
+        return cli_flag
+    opt_json = os.path.join(
+        os.path.dirname(os.path.abspath(load_weights_folder)), "opt.json")
+    if os.path.exists(opt_json):
+        import json
+        with open(opt_json) as f:
+            saved = json.load(f)
+        if saved.get("normalize_input"):
+            print("adopting normalize_input=True from the checkpoint's "
+                  f"{opt_json}")
+            return True
+    return cli_flag
+
+
 def main(argv=None):
     import jax
 
@@ -44,13 +66,22 @@ def main(argv=None):
     p.add_argument("--save_wavelets_dir", type=str, default=None)
     p.add_argument("--bfloat16", action="store_true",
                    help="run the model in bfloat16 (outputs f32)")
+    p.add_argument("--normalize_input", action="store_true",
+                   help="real ImageNet input normalization (deviation; "
+                        "the reference's flag is a silent no-op — see "
+                        "DEVIATIONS.md). Auto-adopted from the "
+                        "checkpoint's opt.json when present")
     args = p.parse_args(argv)
+
+    normalize_input = adopt_normalize_input(args.load_weights_folder,
+                                            args.normalize_input)
 
     opts = NyuOptions(encoder_type=args.encoder_type,
                       num_layers=args.num_layers,
                       use_wavelets=args.use_wavelets,
                       use_sparse=args.use_sparse, use_224=args.use_224,
-                      disparity=args.disparity)
+                      disparity=args.disparity,
+                      normalize_input=normalize_input)
 
     import jax.numpy as jnp
     encoder, num_ch_enc = make_nyu_encoder(opts)

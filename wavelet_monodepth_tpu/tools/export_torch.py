@@ -62,6 +62,16 @@ def main(argv=None):
     if kind == "kitti":
         enc_meta = {k: meta[k] for k in ("height", "width", "use_stereo")
                     if k in meta}
+        missing = [k for k in ("height", "width", "use_stereo")
+                   if k not in enc_meta]
+        if missing:
+            # the reference's test_simple.py:85-86 reads
+            # loaded_dict['height'/'width'] at inference — exporting
+            # without them produces an encoder.pth it cannot load
+            print(f"WARNING: meta.json lacks {missing}; the reference's "
+                  "test_simple.py needs height/width embedded in "
+                  "encoder.pth — re-export from a checkpoint folder "
+                  "with meta.json, or add the keys by hand")
         _save_pth(os.path.join(out, "encoder.pth"),
                   ti.export_resnet_encoder(
                       {"params": params["encoder"],

@@ -37,33 +37,8 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
-
-def _slope(call, k0: int, k1: int, reps: int = 2,
-           retries: int = 3) -> float:
-    """Seconds per chained eval: warm both K's, min-of-reps difference
-    quotient (bench.py's timing discipline). Shared-tenancy swings can
-    exceed the K-delta mid-window (PERF.md landmine); a non-positive
-    slope is re-measured with doubled reps, and the last estimate is
-    returned regardless so callers can flag it."""
-    float(call(k0))
-    float(call(k1))
-
-    s = float("nan")
-    for attempt in range(retries):
-        def t(k):
-            ts = []
-            for _ in range(reps * (attempt + 1)):
-                t0 = time.perf_counter()
-                float(call(k))
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
-
-        s = (t(k1) - t(k0)) / (k1 - k0)
-        if s > 0:
-            return s
-    return s
+from ..utils.timing import slope_time as _slope
 
 
 def main(argv=None):
@@ -127,6 +102,15 @@ def main(argv=None):
         print("note: --torch_model_path given; adding 'torch' to "
               "--weights")
         args.weights = list(args.weights) + ["torch"]
+    if "torch" in args.weights:
+        # fail fast, before any model build / device contact
+        if not args.torch_model_path:
+            raise SystemExit("--weights torch needs --torch_model_path")
+        if args.dataset == "nyu" and args.encoder_type != "densenet":
+            raise SystemExit(
+                "--weights torch on NYU supports only --encoder_type "
+                "densenet (the published checkpoints; the importer has "
+                f"no {args.encoder_type} mapping)")
 
     if args.dataset == "kitti":
         encoder = ResnetEncoder(num_layers=args.num_layers)
@@ -229,9 +213,6 @@ def main(argv=None):
             sources[src] = synthetic_train(enc_vars, dec_vars,
                                            args.train_steps)
         else:
-            if not args.torch_model_path:
-                raise SystemExit("--weights torch needs "
-                                 "--torch_model_path")
             from . import torch_import as ti
             if args.dataset == "kitti":
                 ev = ti.import_resnet_encoder(

@@ -48,7 +48,7 @@ def main(argv=None):
     # global sizes decide the (lockstep) step counts; each process
     # loads batch_size/nproc items of its own shard per step
     n_train_global, n_val_global = len(train_files), len(val_files)
-    _, _, local_batch, opts.data_axis = mesh_lib.multihost_setup(
+    local_batch, opts.data_axis = mesh_lib.multihost_setup(
         opts.batch_size, opts.data_axis)
     if nproc > 1:
         train_files = mesh_lib.process_shard(train_files)

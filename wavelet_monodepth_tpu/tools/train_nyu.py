@@ -36,12 +36,21 @@ def main(argv=None):
         opts.data_path, is_224=opts.use_224,
         uint8_feed=not opts.float_feed)
     n_train_global = len(train_ds)
-    _, _, local_batch, opts.data_axis = mesh_lib.multihost_setup(
+    local_batch, opts.data_axis = mesh_lib.multihost_setup(
         opts.batch_size, opts.data_axis)
     if nproc > 1:
         train_ds.pairs = mesh_lib.process_shard(train_ds.pairs)
         test_ds.pairs = mesh_lib.process_shard(test_ds.pairs)
     setup = NyuTrainSetup(opts)
+    # mesh + collective warmup BEFORE any heavy compile (init_state is a
+    # multi-minute DenseNet161 compile): gloo's first-collective
+    # rendezvous has a ~30 s deadline, so the clique must form while the
+    # processes are still in lockstep (parallel/mesh.py
+    # warmup_collectives; same ordering as train_kitti.py)
+    mesh = None
+    if opts.data_axis > 1:
+        mesh = mesh_lib.make_mesh(data=opts.data_axis)
+        mesh_lib.warmup_collectives(mesh)   # no-op single-process
     state = setup.init_state(jax.random.PRNGKey(0))
     start_epoch = 0
     resume_folder = opts.load_weights_folder
@@ -61,10 +70,7 @@ def main(argv=None):
     if resume_folder:
         state = ckpt.load_checkpoint(resume_folder, state)
 
-    mesh = None
-    if opts.data_axis > 1:
-        mesh = mesh_lib.make_mesh(data=opts.data_axis)
-        mesh_lib.warmup_collectives(mesh)   # no-op single-process
+    if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
     step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
