@@ -259,3 +259,43 @@ def test_eval_forward_uint8_feed_matches_f32():
         # not bit-equal even at f32: inside the jit XLA reassociates
         # the /255 into the folded stem normalization (1-ulp scale)
         np.testing.assert_allclose(a, b, atol=2e-3 if bf16 else 1e-5)
+
+
+def test_sparse_eval_respects_post_process_flag():
+    """Sparse + post_process=True flip-fuses (two forwards, ops counted
+    over both — the reference's only runnable sparse protocol,
+    `evaluate_depth.py:173-206`); post_process=False does ONE forward
+    (the reference crashes on that combination — honest deviation,
+    DEVIATIONS.md)."""
+    rng = np.random.RandomState(5)
+    imgs = rng.rand(2, 64, 96, 3).astype(np.float32)
+    forward = _tiny_kitti_forward()
+
+    d_plain, info_plain = kitti_eval.predict_disps(
+        forward, [imgs], sparse_threshold=0.04, post_process=False)
+    d_fused, info_fused = kitti_eval.predict_disps(
+        forward, [imgs], sparse_threshold=0.04, post_process=True)
+
+    # fused != plain, and fusing by hand reproduces the fused output
+    assert not np.allclose(d_plain, d_fused, atol=1e-5)
+    import jax.numpy as jnp
+    from wavelet_monodepth_tpu.ops.geometry import disp_to_depth
+    out_f = forward(jnp.flip(jnp.asarray(imgs), axis=2), 0.04)
+    df, _ = disp_to_depth(out_f[("disp", 0)], 0.1, 100.0)
+    expect = kitti_eval.batch_post_process_disparity(
+        d_plain, np.asarray(df)[..., 0][:, :, ::-1])
+    np.testing.assert_allclose(d_fused, expect, atol=1e-5)
+    # fused ops average over BOTH passes (flipped masks differ):
+    # mean = (plain_mean + flipped_mean) / 2
+    flip_mean = float(np.mean(np.asarray(out_f[("total_ops", -1)])))
+    assert info_fused["total_ops_mean"] == pytest.approx(
+        (info_plain["total_ops_mean"] + flip_mean) / 2, rel=1e-6)
+
+
+def test_evaluate_disps_requires_explicit_protocol():
+    """eval_stereo must be chosen explicitly, like the reference's
+    --eval_mono/--eval_stereo assert (`evaluate_depth.py:88-89`)."""
+    gt = np.random.RandomState(0).rand(1, 96, 320) * 40 + 2
+    with pytest.raises(ValueError, match="mono or stereo"):
+        kitti_eval.evaluate_disps((1.0 / gt).astype(np.float32),
+                                  list(gt))

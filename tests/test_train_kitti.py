@@ -239,3 +239,70 @@ def test_banded_warp_under_8_device_mesh():
     assert np.isfinite(float(losses["loss"]))
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_posecnn_velocity_scaled_warp_pose():
+    """The posecnn warp recomputes T per scale with the translation
+    scaled by the scale's mean inverse depth (`trainer.py:353-364`,
+    "from the authors of arXiv:1712.00175") — the stored cam_T_cam is
+    NOT what warps the source frames. Locked by recomputing the
+    override by hand from the pose outputs and the depth the loss path
+    produced, and checking the sampling grid matches a from-scratch
+    warp with the scaled pose (and does NOT match the unscaled one)."""
+    from wavelet_monodepth_tpu.ops.geometry import (
+        backproject_depth, disp_to_depth, project_3d,
+        transformation_from_parameters)
+    from wavelet_monodepth_tpu.train import losses_kitti
+
+    opts = KittiOptions(use_stereo=False, frame_ids=(0, -1, 1),
+                        use_wavelets=True, pose_model_input="pairs",
+                        pose_model_type="posecnn", **TINY)
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    batch = synthetic_batch(opts, 2)
+    outputs, _, _ = setup.forward(state.params, state.batch_stats,
+                                  batch, jax.random.PRNGKey(1),
+                                  train=False)
+
+    scale = 2
+    from wavelet_monodepth_tpu.ops.image import (grid_sample_border,
+                                                 resize_bilinear)
+    disp = resize_bilinear(outputs[("disp", scale)], opts.height,
+                           opts.width)
+    _, depth = disp_to_depth(disp, opts.min_depth, opts.max_depth)
+    np.testing.assert_allclose(np.asarray(outputs[("depth", 0, scale)]),
+                               np.asarray(depth), rtol=1e-6)
+    for frame_id in (-1, 1):
+        aa = outputs[("axisangle", 0, frame_id)]
+        tr = outputs[("translation", 0, frame_id)]
+        mean_inv_depth = jnp.mean(1.0 / depth, axis=(1, 2),
+                                  keepdims=True)
+        T_scaled = transformation_from_parameters(
+            aa[:, 0], tr[:, 0] * mean_inv_depth[:, 0],
+            invert=frame_id < 0)
+        cam = backproject_depth(depth, batch[("inv_K", 0)])
+        pix = project_3d(cam, batch[("K", 0)], T_scaled,
+                         opts.height, opts.width)
+        got = np.asarray(outputs[("sample", str(frame_id), scale)])
+        np.testing.assert_allclose(got, np.asarray(pix), atol=1e-5)
+        # and the unscaled stored pose gives a DIFFERENT grid
+        pix_unscaled = project_3d(
+            cam, batch[("K", 0)],
+            outputs[("cam_T_cam", 0, frame_id)], opts.height, opts.width)
+        assert not np.allclose(got, np.asarray(pix_unscaled), atol=1e-5)
+
+    # separate_resnet is untouched: its warp uses the stored cam_T_cam
+    opts2 = KittiOptions(use_stereo=False, frame_ids=(0, -1, 1),
+                         use_wavelets=True, pose_model_input="pairs",
+                         pose_model_type="separate_resnet", **TINY)
+    setup2 = KittiTrainSetup(opts2, steps_per_epoch=10)
+    state2 = setup2.init_state(jax.random.PRNGKey(0))
+    out2, _, _ = setup2.forward(state2.params, state2.batch_stats,
+                                synthetic_batch(opts2, 2),
+                                jax.random.PRNGKey(1), train=False)
+    depth2 = out2[("depth", 0, scale)]
+    cam2 = backproject_depth(depth2, batch[("inv_K", 0)])
+    pix2 = project_3d(cam2, batch[("K", 0)],
+                      out2[("cam_T_cam", 0, 1)], opts.height, opts.width)
+    np.testing.assert_allclose(np.asarray(out2[("sample", "1", scale)]),
+                               np.asarray(pix2), atol=1e-5)

@@ -71,13 +71,22 @@ def predict_disps(forward: Callable, images: Iterable[np.ndarray],
             densities.extend(
                 np.ravel(np.asarray(compute_density(
                     out, per_image=True))).tolist())
-            out_f = forward(jnp.flip(x, axis=2), sparse_threshold)
-            df, _ = disp_to_depth(out_f[("disp", 0)], min_depth, max_depth)
-            total_ops.extend(
-                np.ravel(np.asarray(out_f[("total_ops", -1)])).tolist())
             d = np.asarray(d)[..., 0]
-            df = np.asarray(df)[..., 0]
-            d = batch_post_process_disparity(d, df[:, :, ::-1])
+            if post_process:
+                # the reference's sparse path always runs the flipped
+                # second forward but only FUSES under post_process —
+                # without it the two-row pred_disp crashes its assembly
+                # (`evaluate_depth.py:173-206`), so sparse + flip-fusion
+                # is the only runnable reference combination. Here
+                # post_process=False honestly does one forward (ops
+                # counted once) instead of crashing.
+                out_f = forward(jnp.flip(x, axis=2), sparse_threshold)
+                df, _ = disp_to_depth(out_f[("disp", 0)], min_depth,
+                                      max_depth)
+                total_ops.extend(
+                    np.ravel(np.asarray(out_f[("total_ops", -1)])).tolist())
+                df = np.asarray(df)[..., 0]
+                d = batch_post_process_disparity(d, df[:, :, ::-1])
         else:
             if post_process:
                 x = jnp.concatenate([x, jnp.flip(x, axis=2)], axis=0)
@@ -118,12 +127,23 @@ def eigen_crop_mask(gt_depth: np.ndarray) -> np.ndarray:
 
 
 def evaluate_disps(pred_disps: np.ndarray, gt_depths,
-                   eval_split: str = "eigen", eval_stereo: bool = True,
+                   eval_split: str = "eigen",
+                   eval_stereo: Optional[bool] = None,
                    disable_median_scaling: Optional[bool] = None,
                    pred_depth_scale_factor: Optional[float] = None):
     """Score predicted disparities against GT depth maps
-    (`evaluate_depth.py:258-317`). Returns (mean_errors[7], ratios)."""
+    (`evaluate_depth.py:258-317`). Returns (mean_errors[7], ratios).
+
+    eval_stereo is REQUIRED, like the reference's --eval_mono/
+    --eval_stereo assert (`evaluate_depth.py:88-89`): a silent default
+    would x5.4-scale mono predictions (or median-scale stereo ones)
+    into plausible-looking but wrong metrics."""
     import cv2
+    if eval_stereo is None:
+        raise ValueError("choose mono or stereo evaluation: pass "
+                         "eval_stereo=True (x5.4 scaling, no median "
+                         "scaling) or eval_stereo=False (median "
+                         "scaling)")
     if eval_stereo:
         disable_median_scaling = True
         pred_depth_scale_factor = STEREO_SCALE_FACTOR

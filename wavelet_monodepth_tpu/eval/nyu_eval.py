@@ -185,11 +185,18 @@ def compute_errors_nyu(gt: np.ndarray, pred: np.ndarray):
 
 
 def save_outputs_pickle(outputs: dict, pred: np.ndarray, save_dir: str,
-                        idx: int):
-    """Per-image wavelet/prediction dump (`NYUv2/utils.py:231-248`)."""
+                        idx: int, use_disparity: bool = False):
+    """Per-image wavelet/prediction dump (`NYUv2/utils.py:231-248`).
+
+    The reference pickles ("disp", 0) AFTER `pred_y /= 100` has mutated
+    it IN PLACE in the metric-depth path (`utils.py:214-218` — `pred_y`
+    aliases the output tensor); the disparity path rebinds instead, so
+    there the raw decoder output is saved. Matched here so artifact
+    comparisons line up byte-for-byte in both modes."""
     import os
     import pickle
-    to_save = {("disp", 0): np.asarray(outputs[("disp", 0)])[0]}
+    disp = np.asarray(outputs[("disp", 0)])[0]
+    to_save = {("disp", 0): disp if use_disparity else disp / 100.0}
     k = ("wavelets", 2, "LL")
     if k in outputs:
         to_save[k] = np.asarray(outputs[k])[0]
@@ -292,7 +299,8 @@ def evaluate(forward: Callable, rgbs: np.ndarray, depths: np.ndarray,
             pred_b, outs = predict_depth_batch(
                 forward, batch, use_disparity, use_224, sparse_threshold,
                 return_outputs=True)
-            save_outputs_pickle(outs, pred_b[0], save_wavelets_dir, b0)
+            save_outputs_pickle(outs, pred_b[0], save_wavelets_dir, b0,
+                                use_disparity=use_disparity)
         else:
             pred_b = predict_depth_batch(forward, batch, use_disparity,
                                          use_224, sparse_threshold)
@@ -318,9 +326,13 @@ def evaluate(forward: Callable, rgbs: np.ndarray, depths: np.ndarray,
     result = dict(abs_rel=abs_rel, rmse=rmse, log10=log10,
                   a1=a1, a2=a2, a3=a3)
     if edge_scores:
+        # plain mean like the reference (`utils.py:341`
+        # edges_scores.mean(0)): an image with an empty GT edge map
+        # yields NaN and must PROPAGATE — surfacing the data problem —
+        # not be silently dropped from the average
         es = np.asarray(edge_scores, dtype=np.float64)
-        result["eps_acc"] = float(np.nanmean(es[:, 0]))
-        result["eps_comp"] = float(np.nanmean(es[:, 1]))
+        result["eps_acc"] = float(np.mean(es[:, 0]))
+        result["eps_comp"] = float(np.mean(es[:, 1]))
     return result
 
 

@@ -22,7 +22,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import backproject_depth, disp_to_depth, project_3d
+from ..ops.geometry import (backproject_depth, disp_to_depth, project_3d,
+                            transformation_from_parameters)
 from ..ops.image import get_smooth_loss, grid_sample_border, resize_bilinear
 from ..ops.warp import grid_sample_border_banded
 from ..ops.ssim import ssim as ssim_fn
@@ -106,6 +107,23 @@ def generate_images_pred(inputs: Dict, outputs: Dict, opts,
                            else gather_sampler)
             else:
                 T = pose_T[("cam_T_cam", 0, frame_id)]
+                if opts.pose_model_type == "posecnn":
+                    # velocity-scaled warp pose (`trainer.py:353-364`,
+                    # "from the authors of arXiv:1712.00175"): recompute
+                    # T per scale with the translation scaled by this
+                    # scale's mean inverse depth. The reference indexes
+                    # [:, 0] in BOTH pose modes (even 'all', where the
+                    # stored cam_T_cam used [:, i]) — reproduced as-is.
+                    # Temporal frames only: the reference would KeyError
+                    # on ("axisangle", 0, "s"), which predict_poses
+                    # never stores.
+                    aa = pose_T[("axisangle", 0, frame_id)]
+                    tr = pose_T[("translation", 0, frame_id)]
+                    mean_inv_depth = jnp.mean(1.0 / depth, axis=(1, 2),
+                                              keepdims=True)   # N,1,1,1
+                    T = transformation_from_parameters(
+                        aa[:, 0], tr[:, 0] * mean_inv_depth[:, 0],
+                        invert=frame_id < 0)
                 sampler = gather_sampler
             cam_points = backproject_depth(
                 depth, inputs[("inv_K", source_scale)])

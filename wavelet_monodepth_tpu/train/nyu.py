@@ -79,7 +79,6 @@ class NyuTrainSetup:
         opts = self.opts
         losses: Dict = {}
         total = 0.0
-        H, W = depth_n.shape[1:3]
         out_scales = [s for s in range(4) if ("disp", s) in outputs]
         for scale in out_scales:
             pred = outputs[("disp", scale)]
