@@ -126,9 +126,13 @@ def test_nyu_dataset(nyu_zip):
     # used by evaluate.py
     t_item = test[0]
     assert 10.0 <= t_item["depth"].max() <= 1000.0
+    # is_test: /1000 then the same [10, 1000] clamp — the reference
+    # clamps BOTH branches (`data.py:132-139`), so 8-bit depth maps
+    # land pinned at the clamp floor
     real_test = nyu_data.NyuDepthDataset(test.data, test.pairs,
                                          is_train=False, is_test=True)
-    assert real_test[0]["depth"].max() <= 255.0 / 1000.0 + 1e-6
+    assert float(real_test[0]["depth"].min()) == 10.0
+    assert float(real_test[0]["depth"].max()) == 10.0
 
 
 def test_nyu_batch_iterator(nyu_zip):
@@ -163,3 +167,23 @@ def test_prefetch_sharded():
     batches = [{"a": np.ones((8, 4), np.float32)}]
     out = list(prefetch.to_device(iter(batches), sharding=sh))
     assert len(out[0]["a"].sharding.device_set) == 8
+
+
+def test_nyu_16bit_depth_keeps_raw_values():
+    """The reference's to_tensor (`data.py:142-173`) divides only BYTE
+    images by 255; 'I'/'I;16' depth PNGs (millimetre ints) pass through
+    raw. 8-bit depth still divides."""
+    from PIL import Image
+
+    from wavelet_monodepth_tpu.data.nyu import _depth_to_float
+
+    a = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 300)
+    img16 = Image.fromarray(a.astype(np.int32), mode="I")
+    out = _depth_to_float(img16)
+    np.testing.assert_allclose(out[..., 0], a.astype(np.float32))
+
+    img8 = Image.fromarray((np.arange(12, dtype=np.uint8)
+                            ).reshape(3, 4), mode="L")
+    out8 = _depth_to_float(img8)
+    np.testing.assert_allclose(
+        out8[..., 0], np.arange(12, dtype=np.float32).reshape(3, 4) / 255)

@@ -181,3 +181,71 @@ def test_fetch_pretrained_check(tmp_path):
 def test_fetch_pretrained_empty(tmp_path):
     from wavelet_monodepth_tpu.tools.fetch_pretrained import check_folder
     assert not check_folder(str(tmp_path))["ok"]
+
+
+def _raw_torchvision_resnet18_sd():
+    """The _resnet18_sd fixture with the 'encoder.' scope stripped — a
+    raw torchvision state_dict, the weights_init=pretrained source."""
+    sd = {}
+    for k, v in _resnet18_sd().items():
+        if isinstance(k, str) and k.startswith("encoder."):
+            sd[k[len("encoder."):]] = v
+    return sd
+
+
+def test_resnet_multiimage_import_tiles_stem():
+    """Pose-encoder ImageNet init (`resnet_encoder.py:55`): conv1
+    weights tiled along input channels and divided by the image count;
+    everything else identical to the single-image import."""
+    sd = _raw_torchvision_resnet18_sd()
+    single = ti.import_resnet_encoder(sd, 18, prefix="")
+    multi = ti.import_resnet_encoder_multiimage(sd, 18, 2, prefix="")
+    ks = np.asarray(single["params"]["stem"]["conv"]["kernel"])
+    km = np.asarray(multi["params"]["stem"]["conv"]["kernel"])
+    assert ks.shape[2] == 3 and km.shape[2] == 6
+    np.testing.assert_allclose(km[:, :, :3], ks / 2, rtol=1e-6)
+    np.testing.assert_allclose(km[:, :, 3:], ks / 2, rtol=1e-6)
+    enc = ResnetEncoder(num_layers=18, num_input_images=2)
+    x = jnp.zeros((1, 64, 96, 6), jnp.float32)
+    feats = enc.apply(multi, x)
+    assert feats[-1].shape == (1, 2, 3, 512)
+
+
+def test_kitti_train_setup_imagenet_init(tmp_path):
+    """weights_init=pretrained + --imagenet_weights_path: depth AND
+    pose encoders start from the torchvision state_dict (stem kernels
+    match; pose stem is the tiled /2 variant), and a step runs."""
+    import torch
+
+    from wavelet_monodepth_tpu.train.kitti import (KittiTrainSetup,
+                                                   synthetic_batch)
+    from wavelet_monodepth_tpu.utils.config import KittiOptions
+
+    sd = _raw_torchvision_resnet18_sd()
+    path = tmp_path / "resnet18-imagenet.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd.items()}, path)
+
+    opts = KittiOptions(use_stereo=False, frame_ids=(0, -1, 1),
+                        use_wavelets=True, height=64, width=96,
+                        scales=(0, 1, 2, 3), loss_scales=(0, 1, 2, 3),
+                        num_layers=18, batch_size=2,
+                        imagenet_weights_path=str(path))
+    setup = KittiTrainSetup(opts, steps_per_epoch=10)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    w = _conv_w_np(sd["conv1.weight"])
+    np.testing.assert_allclose(
+        np.asarray(state.params["encoder"]["stem"]["conv"]["kernel"]),
+        w, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.params["pose_encoder"]["stem"]["conv"]
+                   ["kernel"]),
+        np.concatenate([w, w], axis=2) / 2, rtol=1e-6)
+    state, losses = setup.jit_train_step()(state, synthetic_batch(opts, 2),
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
+
+
+def _conv_w_np(w):
+    """OIHW -> HWIO, numpy."""
+    return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))

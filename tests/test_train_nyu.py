@@ -4,6 +4,7 @@ speed; densenet is covered by encoder tests)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wavelet_monodepth_tpu.train.nyu import NyuTrainSetup, depth_norm
 from wavelet_monodepth_tpu.utils.config import NyuOptions
@@ -125,3 +126,36 @@ def test_nyu_densenet_mixed_precision_runs_in_bf16():
     a, b = float(l_mp["loss"]), float(l_f32["loss"])
     assert np.isfinite(a)
     assert abs(a - b) / abs(b) < 0.01
+
+
+def test_bool_flags_can_be_disabled():
+    """True-default bools need a --no- spelling (plain store_true can
+    never turn them off); store_true usage stays reference-compatible."""
+    from wavelet_monodepth_tpu.utils.config import (parse_kitti_args,
+                                                    parse_nyu_args)
+    o = parse_nyu_args(["--data_path", "x"])
+    assert o.pretrained_encoder is True
+    o = parse_nyu_args(["--data_path", "x", "--no-pretrained_encoder"])
+    assert o.pretrained_encoder is False
+    k = parse_kitti_args(["--data_path", "x", "--use_stereo"])
+    assert k.use_stereo is True
+
+
+def test_nyu_imagenet_init_guard_and_note(capsys):
+    """pretrained_encoder without a local state_dict: scratch init with
+    a note; an unsupported encoder with a path raises cleanly."""
+    import jax
+
+    from wavelet_monodepth_tpu.train.nyu import NyuTrainSetup
+    from wavelet_monodepth_tpu.utils.config import NyuOptions
+
+    opts = NyuOptions(encoder_type="mobilenet_light", use_wavelets=True,
+                      use_224=True)
+    setup = NyuTrainSetup(opts)
+    setup.init_state(jax.random.PRNGKey(0))
+    assert "no --imagenet_weights_path" in capsys.readouterr().out
+
+    opts2 = NyuOptions(encoder_type="mobilenet_light", use_wavelets=True,
+                       use_224=True, imagenet_weights_path="/tmp/x.pth")
+    with pytest.raises(SystemExit, match="no mobilenet_light"):
+        NyuTrainSetup(opts2).init_state(jax.random.PRNGKey(0))

@@ -257,9 +257,15 @@ class KittiRawDataset:
                     inputs[("disp_hint",)] = depth_to_disp_np(
                         depth.astype(np.float32))[..., None]
                 except FileNotFoundError:
+                    # zero-mask fallback (the hint loss sees no valid
+                    # pixels; the reference adds NO keys and crashes
+                    # torch's collate on partially precomputed hint
+                    # dirs). Must emit the SAME key set as the found
+                    # branch or our collation goes jagged mid-epoch.
                     z = np.zeros((self.height, self.width, 1), np.float32)
                     inputs[("depth_hint",)] = z
                     inputs[("depth_hint_mask",)] = z
+                    inputs[("disp_hint",)] = z
         return inputs
 
 

@@ -46,6 +46,19 @@ def _to_float(img: Image.Image) -> np.ndarray:
     return arr / 255.0
 
 
+def _depth_to_float(img: Image.Image) -> np.ndarray:
+    """The reference's `to_tensor` semantics for depth maps
+    (`data.py:142-173`): byte images divide by 255, integer-mode PILs
+    ('I' int32, 'I;16' 16-bit) keep their RAW values — NYU 16-bit depth
+    PNGs carry millimetres and must not be squashed by /255."""
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if getattr(img, "mode", None) in ("I", "I;16"):
+        return arr
+    return arr / 255.0
+
+
 class NyuDepthDataset:
     """`depthDatasetMemory` + transform pipeline in one class."""
 
@@ -118,18 +131,21 @@ class NyuDepthDataset:
             d = np.asarray(depth)
             if d.dtype == np.uint8:
                 depth_arr = d[..., None] if d.ndim == 2 else d
-            else:   # 16-bit depth png: clamp on the host as usual
-                depth_arr = np.clip(_to_float(depth) * 1000.0,
+            else:   # 16-bit depth png: raw ints x1000, clamp on host
+                depth_arr = np.clip(_depth_to_float(depth) * 1000.0,
                                     10.0, 1000.0)
             return {"image": image_arr, "depth": depth_arr}
         image_arr = _to_float(image)
-        depth_arr = _to_float(depth)
+        depth_arr = _depth_to_float(depth)
+        # `ToTensor.__call__` (`data.py:132-139`): /1000 for is_test,
+        # x1000 otherwise, and the [10, 1000] clamp applies to BOTH
+        # branches ([0.1m, 10m] in cm)
         if self.is_test:
             depth_arr = depth_arr / 1000.0
         else:
-            # [0,1] -> [0,1000] == [0m,10m] in cm, clamped to [0.1m, 10m]
-            depth_arr = np.clip(depth_arr * 1000.0, 10.0, 1000.0)
-        return {"image": image_arr, "depth": depth_arr}
+            depth_arr = depth_arr * 1000.0
+        return {"image": image_arr,
+                "depth": np.clip(depth_arr, 10.0, 1000.0)}
 
 
 def get_training_testing_data(zip_path: str, is_224: bool = False,

@@ -266,9 +266,15 @@ class NyuDecoderWave(nn.Module):
         for s, up, wave, skip, coeff_pow in (
                 (1, self.up2, self.wave2, features[-3], 1),
                 (0, self.up3, self.wave3, features[-4], 0)):
-            thresh = (jnp.max(ll) - jnp.min(ll)) * thresh_ratio
-            mask = (jnp.max(jnp.abs(h), axis=-1, keepdims=True) > thresh
-                    ).astype(ll.dtype)
+            # per-image threshold via the shared helper
+            # (ops/sparse.wavelet_threshold_mask): identical to the
+            # reference's global ll.max()-ll.min()
+            # (`densedepth_decoder.py:316,363`) at batch 1 — which is
+            # how the reference evaluates (`utils.py:310-311` slices
+            # one image per "batch") — and keeps batched sparse decode
+            # equal to N batch-1 runs instead of coupling masks across
+            # the batch
+            mask = sp.wavelet_threshold_mask(ll, h, thresh_ratio)
             total += sp.ops_threshold(mask)
             umask = upsample_nearest2x(mask)
             up_mask = sp.dilate_mask(mask, 5)

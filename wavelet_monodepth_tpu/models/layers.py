@@ -151,24 +151,6 @@ class WaveConv(nn.Module):
         return y
 
 
-class UpSampleBlock(nn.Module):
-    """NYU DenseDepth skip-up block: nearest-x2 -> concat skip -> Conv3x3
-    -> LeakyReLU(0.2) (`NYUv2/networks/layers.py:57-67`)."""
-    features: int
-    pad_mode: str = "zero"
-
-    @nn.compact
-    def __call__(self, x: Array, skip: Array,
-                 up_out_mask: Optional[Array] = None,
-                 out_mask: Optional[Array] = None) -> Array:
-        up = jnp.concatenate([upsample_nearest2x(x), skip], axis=-1)
-        if up_out_mask is not None:
-            up = up * up_out_mask
-        return Conv3x3(self.features, self.pad_mode, name="convA")(
-            up, None, out_mask,
-            nonlin=lambda v: jax.nn.leaky_relu(v, negative_slope=0.2))
-
-
 def upsample_concat(x: Array, skip: Optional[Array],
                     out_mask: Optional[Array] = None) -> Array:
     """Nearest-x2 + optional skip concat (+ mask), the KITTI decoder's

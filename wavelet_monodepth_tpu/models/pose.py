@@ -28,9 +28,12 @@ class PoseDecoder(nn.Module):
         """input_features: list (len num_input_features) of encoder feature
         pyramids; only the coarsest map of each is used."""
         last = [f[-1] for f in input_features]
-        cat = [jax.nn.relu(nn.Conv(256, (1, 1), name=f"squeeze_{i}"
-                                   if i else "squeeze")(f))
-               for i, f in enumerate(last)]
+        # ONE squeeze conv shared across every input feature, like the
+        # reference (`pose_decoder.py:26,38` applies convs["squeeze"]
+        # in a loop) — per-feature weights would diverge from imported
+        # checkpoints in the multi-feature 'shared' pose mode
+        squeeze = nn.Conv(256, (1, 1), name="squeeze")
+        cat = [jax.nn.relu(squeeze(f)) for f in last]
         out = jnp.concatenate(cat, axis=-1)
         out = jax.nn.relu(nn.Conv(256, (3, 3), (self.stride, self.stride),
                                   padding=1, name="pose_0")(out))

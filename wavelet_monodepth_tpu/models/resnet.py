@@ -93,6 +93,15 @@ class ResnetEncoder(nn.Module):
         blocks = _BLOCKS[self.num_layers]
         block_cls = Bottleneck if _BOTTLENECK[self.num_layers] else BasicBlock
         chans = num_ch_enc(self.num_layers)
+        # flax infers the stem's input channels from the first apply;
+        # num_input_images exists to CHECK the caller fed the multi-image
+        # concat it declared (the reference sizes conv1 from it,
+        # `resnet_encoder.py:26,46`) — a 3-channel init of a 2-image
+        # encoder would otherwise silently build the wrong stem
+        assert x.shape[-1] == 3 * self.num_input_images, (
+            f"ResnetEncoder(num_input_images={self.num_input_images}) "
+            f"expects {3 * self.num_input_images} input channels, got "
+            f"{x.shape[-1]}")
 
         features = []
         if (self.normalize_input and not train
@@ -105,10 +114,14 @@ class ResnetEncoder(nn.Module):
             # where K(p)_c = sum of W[..., c] taps INSIDE the image at
             # output position p: the reference zero-pads the *normalized*
             # input, so border positions must only subtract the in-image
-            # part of the kernel sum. K(p) = conv(ones, W) — a constant
-            # input, so XLA constant-folds it at compile time. Absorbed
-            # into the BN affine; exact at inference everywhere (borders
-            # included); params/tree untouched (importer-safe).
+            # part of the kernel sum. K(p) = conv(ones, W); W is a traced
+            # parameter (never closed over — PERF.md landmine #3), so
+            # this extra stem conv runs per call — but at BATCH 1
+            # regardless of input batch, so it amortizes to 1/N of one
+            # stem conv. Net win over the standalone normalize pass
+            # measured at batch 16 (PERF.md). Absorbed into the BN
+            # affine; exact at inference everywhere (borders included);
+            # params/tree untouched (importer-safe).
             p = self.variables["params"]["stem"]
             bs = self.variables["batch_stats"]["stem"]["bn"]
             w = p["conv"]["kernel"]                       # (7, 7, 3, 64)

@@ -143,11 +143,14 @@ def compute_density(outputs: dict, per_image: bool = False) -> Array:
             m = outputs[k].astype(jnp.float32)
             if per_image:
                 num = num + jnp.sum(m, axis=(1, 2, 3))
+                den = den + m.shape[1] * m.shape[2]
             else:
                 num = num + jnp.sum(m)
                 den = den + m.shape[0] * m.shape[1] * m.shape[2]
-            if per_image:
-                den = den + m.shape[1] * m.shape[2]
+    if den == 0.0:
+        raise ValueError("compute_density: no (\"wavelet_mask\", i) "
+                         "entries in outputs — dense-decoder outputs "
+                         "have no density (run with thresh_ratio set)")
     return num / den
 
 

@@ -107,6 +107,22 @@ def import_resnet_encoder(sd: dict, num_layers: int,
     return {"params": params, "batch_stats": stats}
 
 
+def import_resnet_encoder_multiimage(sd: dict, num_layers: int,
+                                     num_input_images: int,
+                                     prefix: str = "") -> dict:
+    """ImageNet resnet weights for the MULTI-image pose encoder: the
+    stem conv kernel is tiled along input channels and divided by the
+    image count, exactly the reference's `resnet_multiimage_input`
+    (`resnet_encoder.py:55`: cat([conv1.weight] * n, 1) / n). Default
+    prefix='' takes a raw torchvision state_dict."""
+    v = import_resnet_encoder(sd, num_layers, prefix=prefix)
+    if num_input_images > 1:
+        k = v["params"]["stem"]["conv"]["kernel"]     # HWIO
+        v["params"]["stem"]["conv"]["kernel"] = np.concatenate(
+            [np.asarray(k)] * num_input_images, axis=2) / num_input_images
+    return v
+
+
 def encoder_metadata(sd: dict) -> dict:
     """height/width/use_stereo ints the reference embeds in encoder.pth
     (`trainer.py:743-747`)."""

@@ -84,9 +84,43 @@ class KittiTrainSetup:
                                 3 * self.num_pose_frames), jnp.float32)
                 pd_vars = self.pose_decoder.init(r4, px)
             params["pose"] = pd_vars["params"]
+        params, batch_stats = self._imagenet_init(params, batch_stats)
         opt_state = self.optimizer.init(params)
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state, step=jnp.int32(0))
+
+    def _imagenet_init(self, params, batch_stats):
+        """weights_init=pretrained (`resnet_encoder.py:55,82`): replace
+        the depth and pose encoders' scratch init with a local
+        torchvision resnet state_dict. Offline-honest: without
+        --imagenet_weights_path the flag falls back to scratch with a
+        note (the reference would download — impossible here,
+        DEVIATIONS #24)."""
+        opts = self.opts
+        if opts.weights_init != "pretrained":
+            return params, batch_stats
+        path = getattr(opts, "imagenet_weights_path", None)
+        if not path:
+            if jax.process_index() == 0:
+                print("weights_init=pretrained but no "
+                      "--imagenet_weights_path: scratch init (no "
+                      "network egress; point it at a local torchvision "
+                      "resnet state_dict to reproduce the reference's "
+                      "ImageNet start)")
+            return params, batch_stats
+        from ..tools import torch_import as ti
+        sd = ti.load_pth(path)
+        ev = ti.import_resnet_encoder(sd, opts.num_layers, prefix="")
+        params["encoder"] = ev["params"]
+        batch_stats["encoder"] = ev["batch_stats"]
+        if "pose_encoder" in params:
+            pv = ti.import_resnet_encoder_multiimage(
+                sd, opts.num_layers, self.num_pose_frames, prefix="")
+            params["pose_encoder"] = pv["params"]
+            batch_stats["pose_encoder"] = pv["batch_stats"]
+        if jax.process_index() == 0:
+            print(f"ImageNet init: encoder{' + pose_encoder' if 'pose_encoder' in params else ''} from {path}")
+        return params, batch_stats
 
     # ------------------------------------------------------------------
     def _predict_poses(self, params, batch_stats, inputs, train: bool):

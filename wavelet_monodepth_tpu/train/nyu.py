@@ -58,9 +58,45 @@ class NyuTrainSetup:
         params = {"encoder": enc_vars["params"],
                   "decoder": dec_vars["params"]}
         stats = {"encoder": enc_vars.get("batch_stats", {})}
+        params, stats = self._imagenet_init(params, stats)
         return NyuTrainState(params=params, batch_stats=stats,
                              opt_state=self.optimizer.init(params),
                              step=jnp.int32(0))
+
+    def _imagenet_init(self, params, stats):
+        """pretrained_encoder (reference `model.py:19-29`,
+        pretrained=True): replace the encoder's scratch init with a
+        local torchvision state_dict. Offline-honest: without
+        --imagenet_weights_path, scratch init with a note (the
+        reference would download — impossible here, DEVIATIONS #24)."""
+        opts = self.opts
+        if not getattr(opts, "pretrained_encoder", False):
+            return params, stats
+        path = getattr(opts, "imagenet_weights_path", None)
+        if not path:
+            if jax.process_index() == 0:
+                print("pretrained_encoder requested but no "
+                      "--imagenet_weights_path: scratch init (no "
+                      "network egress; point it at a local torchvision "
+                      "state_dict, or pass --no-pretrained_encoder)")
+            return params, stats
+        if opts.encoder_type not in ("densenet", "resnet"):
+            raise SystemExit(
+                f"--imagenet_weights_path has no {opts.encoder_type} "
+                "importer mapping (densenet/resnet supported); pass "
+                "--no-pretrained_encoder")
+        from ..tools import torch_import as ti
+        sd = ti.load_pth(path)
+        if opts.encoder_type == "densenet":
+            ev = ti.import_densenet_encoder(sd, prefix="features.")
+        else:
+            ev = ti.import_resnet_encoder(sd, opts.num_layers, prefix="")
+        params["encoder"] = ev["params"]
+        stats["encoder"] = ev["batch_stats"]
+        if jax.process_index() == 0:
+            print(f"ImageNet init: {opts.encoder_type} encoder from "
+                  f"{path}")
+        return params, stats
 
     def forward(self, params, batch_stats, image, train: bool):
         enc_vars = {"params": params["encoder"],

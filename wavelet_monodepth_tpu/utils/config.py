@@ -55,6 +55,7 @@ class KittiOptions:
     disable_automasking: bool = False
     no_ssim: bool = False
     weights_init: str = "pretrained"       # pretrained | scratch
+    imagenet_weights_path: Optional[str] = None  # local torchvision resnet{num_layers} state_dict (.pth) for weights_init=pretrained — the reference downloads it (`resnet_encoder.py:55,82`), impossible offline (DEVIATIONS #24); depth AND pose encoders initialize from it (pose stem tiled /n like resnet_multiimage_input). Unset: scratch init, noted at startup
     pose_model_input: str = "pairs"        # pairs | all
     pose_model_type: str = "separate_resnet"  # posecnn|separate_resnet|shared
     # SYSTEM
@@ -134,7 +135,8 @@ class NyuOptions:
     dw_waveconv: bool = False
     dw_upconv: bool = False
     normalize_input: bool = False  # reference default is False (train.py:187 store_true) AND the flag is a silent no-op there anyway: all three NYU encoders normalize OUT-OF-PLACE and discard the result (densenet_encoder.py:27-29), so published NYU models were trained WITHOUT input normalization. Our True performs REAL ImageNet normalization (documented deviation, DEVIATIONS.md) — never set it when loading reference checkpoints.
-    pretrained_encoder: bool = True
+    pretrained_encoder: bool = True        # ImageNet encoder init (reference `model.py:19-29` pretrained=True); needs --imagenet_weights_path offline, else scratch init with a startup note. Disable: --no-pretrained_encoder
+    imagenet_weights_path: Optional[str] = None  # local torchvision densenet161/resnet state_dict (.pth); see KittiOptions.imagenet_weights_path
     disparity: bool = False
     supervise_LL: bool = False
     loss_scales: tuple = (0, 1, 2, 3)
@@ -173,7 +175,10 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
     for f in dataclasses.fields(cls):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true",
+            # --flag / --no-flag: reference-compatible store_true usage
+            # PLUS the ability to disable True-default bools (e.g.
+            # --no-pretrained_encoder), which plain store_true cannot
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
                                 default=f.default)
         elif isinstance(f.default, tuple):
             parser.add_argument(name, nargs="+", default=list(f.default))

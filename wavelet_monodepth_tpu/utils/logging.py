@@ -112,6 +112,23 @@ class SummaryLogger:
                     self.image(mode, f"disp_{scale}/{j}",
                                normalize_image_np(
                                    _to_np(outputs[dkey][j])), step)
+            # depth-hint visuals at scale 0 / frame "s"
+            # (`trainer.py:685-696`): hint-selected pixels, the hint
+            # disparity itself, and the hint-warped color
+            if getattr(opts, "use_depth_hints", False):
+                if ("depth_hint_pixels", 0) in outputs:
+                    self.image(mode, f"depth_hints_mask0/{j}",
+                               _to_np(outputs[("depth_hint_pixels",
+                                               0)][j]), step)
+                if ("disp_hint",) in inputs:
+                    self.image(mode, f"disp_hints/{j}",
+                               normalize_image_np(
+                                   _to_np(inputs[("disp_hint",)][j])),
+                               step)
+                if ("color_depth_hint", "s", 0) in outputs:
+                    self.image(mode, f"color_depth_hint0/{j}",
+                               _to_np(outputs[("color_depth_hint",
+                                               "s", 0)][j]), step)
 
     def log_nyu_visuals(self, mode: str, image, depth_n, outputs: Dict,
                         gt_wavelets=None, step: int = 0,
