@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -108,7 +109,8 @@ int wmd_decode_resize_batch_u8(const char** paths, int n, int height,
   return failed.load();
 }
 
-// Nearest-neighbour half-scale pyramid from a float32 NHW3 image:
+// Antialiased (Lanczos, matching mono_dataset.py's Resize)
+// half-scale pyramid from a float32 NHW3 image:
 // writes `levels` downscaled copies (each half the previous) into outs,
 // mirroring the multi-scale pyramid of `mono_dataset.py:111-116` but
 // computed natively.
@@ -137,27 +139,34 @@ void wmd_build_pyramid(const float* img, int height, int width,
 void wmd_velodyne_to_depth(const float* points, int n,
                            const double* P_velo2im, int im_h, int im_w,
                            float* depth_out) {
-  std::fill(depth_out, depth_out + static_cast<size_t>(im_h) * im_w, 0.f);
+  const float f_nan = std::numeric_limits<float>::quiet_NaN();
+  std::fill(depth_out, depth_out + static_cast<size_t>(im_h) * im_w, f_nan);
   for (int i = 0; i < n; ++i) {
     const float* p = points + i * 4;
-    if (p[0] < 0) continue;  // behind the image plane
+    if (p[0] < 0) continue;  // velo x filter (kitti_utils.py:54)
     double u = P_velo2im[0] * p[0] + P_velo2im[1] * p[1] +
                P_velo2im[2] * p[2] + P_velo2im[3];
     double v = P_velo2im[4] * p[0] + P_velo2im[5] * p[1] +
                P_velo2im[6] * p[2] + P_velo2im[7];
     double z = P_velo2im[8] * p[0] + P_velo2im[9] * p[1] +
                P_velo2im[10] * p[2] + P_velo2im[11];
-    if (z <= 0) continue;
+    // NO z<=0 skip: the numpy path projects negative-z points too and
+    // lets min-resolution + the final depth[depth<0]=0 zero them — a
+    // pixel seen by a negative-z AND a positive-z point must come out 0
+    double ud = u / z, vd = v / z;
+    if (!std::isfinite(ud) || !std::isfinite(vd)) continue;
+    // rint = round-half-even like np.round (lround's half-away-from-
+    // zero shifts .5-exact hits by one pixel vs the devkit convention);
     // round-minus-one matches the KITTI matlab devkit indexing
-    long x = std::lround(u / z) - 1;
-    long y = std::lround(v / z) - 1;
+    long x = static_cast<long>(std::rint(ud)) - 1;
+    long y = static_cast<long>(std::rint(vd)) - 1;
     if (x < 0 || y < 0 || x >= im_w || y >= im_h) continue;
     float* cell = depth_out + y * im_w + x;
     float d = static_cast<float>(z);
-    if (*cell == 0.f || d < *cell) *cell = d;
+    if (std::isnan(*cell) || d < *cell) *cell = d;
   }
   for (size_t i = 0; i < static_cast<size_t>(im_h) * im_w; ++i) {
-    if (depth_out[i] < 0) depth_out[i] = 0;
+    if (std::isnan(depth_out[i]) || depth_out[i] < 0) depth_out[i] = 0;
   }
 }
 

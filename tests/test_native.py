@@ -108,3 +108,56 @@ def test_decode_resize_batch_u8_matches_float(tmp_path):
     assert u8.dtype == np.uint8
     np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32,
                                atol=1e-7)
+
+
+def _numpy_velo_scatter(pts, P_velo2im, im_shape):
+    """The exact numpy projection from kitti_utils.generate_depth_map
+    (post-calib part), as the cross-check oracle."""
+    velo = pts[pts[:, 0] >= 0]
+    pts_im = (P_velo2im @ np.concatenate(
+        [velo[:, :3], np.ones((len(velo), 1), velo.dtype)], 1).T).T
+    pts_im = pts_im.astype(np.float64)
+    pts_im[:, :2] /= pts_im[:, 2:3]
+    pts_im[:, 0] = np.round(pts_im[:, 0]) - 1
+    pts_im[:, 1] = np.round(pts_im[:, 1]) - 1
+    valid = ((pts_im[:, 0] >= 0) & (pts_im[:, 1] >= 0)
+             & (pts_im[:, 0] < im_shape[1]) & (pts_im[:, 1] < im_shape[0])
+             & np.isfinite(pts_im[:, 0]) & np.isfinite(pts_im[:, 1]))
+    pts_im = pts_im[valid]
+    depth = np.zeros(im_shape, np.float64)
+    order = np.argsort(-pts_im[:, 2])
+    depth[pts_im[order, 1].astype(np.int64),
+          pts_im[order, 0].astype(np.int64)] = pts_im[order, 2]
+    depth[depth < 0] = 0
+    return depth.astype(np.float32)
+
+
+def test_velodyne_to_depth_exact_cross_check():
+    """Pixel-exact C++/numpy agreement, including the landmines: a
+    pixel hit by BOTH a negative-z and a positive-z point must come out
+    0 (min resolution then depth<0 -> 0, like the reference), and
+    .5-exact projections must round half-even like np.round."""
+    P = np.array([[100, 0, 160, 0],
+                  [0, 100, 48, 0],
+                  [0, 0, 1, 0]], dtype=np.float64)
+    rng = np.random.RandomState(7)
+    pts = np.zeros((200, 4), np.float32)
+    # velo frame == cam frame here (identity R): z IS depth
+    pts[:, 2] = rng.rand(200) * 20 + 1
+    pts[:, 0] = rng.randn(200) * 2
+    pts[:, 1] = rng.randn(200) * 0.5
+    pts[:, 3] = 1
+    # half-even rounding probes: u/z lands exactly on .5
+    pts[0] = (0.165 * 10, 0.0, 10.0, 1.0)   # u = 100*1.65+1600 = 1765?
+    pts[0, 0] = (164.5 - 160) / 100 * 10    # u/z = 164.5
+    pts[1, 0] = (165.5 - 160) / 100 * 5
+    pts[1, 2] = 5.0
+    pts[1, 3] = 1.0
+    # negative-z + positive-z duplicate pixel: center of the image
+    pts[2] = (0.0, 0.0, 8.0, 1.0)           # center, depth 8
+    pts[3] = (0.0, 0.0, -3.0, 1.0)          # same pixel, z = -3
+    got = native_loader.velodyne_to_depth(pts, P, (96, 320))
+    want = _numpy_velo_scatter(pts, P, (96, 320))
+    np.testing.assert_array_equal(got, want)
+    # the duplicate pixel really was contested and zeroed
+    assert want[48 - 1, 160 - 1] == 0.0

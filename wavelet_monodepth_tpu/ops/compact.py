@@ -80,9 +80,12 @@ def _scatter(vals: Array, idx: Array, n: int, nh: int, nw: int,
 
 def default_tile_shape(hh: int, wh: int) -> tuple[int, int]:
     """High-res tile shape for a stage with high-res dims (hh, wh):
-    (8, 128) when the image is large enough, shrunk (to multiples of 8,
+    (8, 32) when the image is >= 64 wide, shrunk (to multiples of 8,
     even so the low-res tile is integral) to avoid mostly-padding tiles
-    on small scales."""
+    on small scales. 32 lanes, not 128: the tile is a COUNTING/
+    compaction granule (tile_scores/top-K), not a VMEM block — finer
+    tiles track thin edge masks better and the Pallas block IO pads to
+    lane width itself."""
     # th=8 keeps the low-res tile (th/2 = 4) >= 2*halo, the blockio band
     # invariant (window_h <= 2 * tile rows); undersized scales just pad.
     th = 8

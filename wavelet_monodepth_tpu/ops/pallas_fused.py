@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .image import dilate_mask, pad2d, upsample_nearest2x
+from .image import pad2d
 from .pallas_conv import elu, leaky_relu_01, sigmoid
 
 Array = jnp.ndarray
@@ -209,13 +209,15 @@ def fused_wave_stage(x: Array, skip: Array, yl: Array, mask: Array,
     def su(v, m=8):
         return v if interpret else (-(-v // m) * m)
 
-    # masks (XLA, cheap)
-    umask = upsample_nearest2x(mask)
-    m_lowres = dilate_mask(mask, 3)
-    m_upconv0 = dilate_mask(mask, 5)[..., 0]
-    m_upsample = dilate_mask(umask, 5)
-    m_upconv1 = dilate_mask(umask, 3)[..., 0]
-    m_wavelet = umask[..., 0]
+    # masks (XLA, cheap) — the ORACLE's per-op dilations, from the one
+    # shared helper so a radius fix there cannot silently miss this copy
+    from .sparse import stage_masks
+    sm = stage_masks(mask)
+    m_lowres = sm["lowres"]
+    m_upconv0 = sm["upconv0"][..., 0]
+    m_upsample = sm["upsample"]
+    m_upconv1 = sm["upconv1"][..., 0]
+    m_wavelet = sm["wavelet"][..., 0]
 
     # pre-mask the kernel inputs in XLA (exact: these are input masks)
     x = x * m_lowres

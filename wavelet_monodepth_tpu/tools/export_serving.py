@@ -109,7 +109,18 @@ def build(args):
         enc_vars = encoder.init(rng, x[:1])
         feats = encoder.apply(enc_vars, x[:1])
         dec_vars = decoder.init(rng, feats)
-        if args.model_path:      # nyu family checkpoint (train_nyu's)
+        if args.torch_model_path:   # nyu family reference model.pth
+            from . import torch_import as ti
+            if args.encoder_type != "densenet":
+                raise SystemExit(
+                    "--torch_model_path for the nyu family supports "
+                    "--encoder_type densenet (the published "
+                    "checkpoints; no importer mapping for "
+                    f"{args.encoder_type})")
+            sd = ti.load_pth(args.torch_model_path)
+            enc_vars = ti.import_densenet_encoder(sd)
+            dec_vars = ti.import_nyu_wave_decoder(sd)
+        elif args.model_path:    # nyu family checkpoint (train_nyu's)
             import flax.serialization
             from ..utils.checkpoint import load_raw_state
             raw = load_raw_state(args.model_path)

@@ -28,8 +28,11 @@ def parse_args(argv=None):
                    help="folder with state.msgpack + meta.json")
     p.add_argument("--torch_model_path", type=str, default=None,
                    help="folder with reference encoder.pth/depth.pth")
-    p.add_argument("--encoder_type", choices=["resnet", "mobilenet"],
-                   default="resnet")
+    p.add_argument("--encoder_type", choices=["resnet"],
+                   default="resnet",
+                   help="resnet only (the reference test_simple.py "
+                        "ships resnet checkpoints; no mobilenet "
+                        "importer mapping exists)")
     p.add_argument("--num_layers", type=int, choices=[18, 50], default=18)
     p.add_argument("--ext", type=str, default="png")
     p.add_argument("--use_wavelets", action="store_true", default=True)
@@ -48,6 +51,10 @@ def load_variables(args):
     from ..models.decoders_kitti import KittiWaveletDecoder
     from ..models.resnet import ResnetEncoder, num_ch_enc
 
+    if not (args.model_path or args.torch_model_path):
+        raise SystemExit("pass --model_path (folder with state.msgpack "
+                         "+ meta.json) or --torch_model_path (folder "
+                         "with the reference's encoder.pth/depth.pth)")
     encoder = ResnetEncoder(num_layers=args.num_layers)
     decoder = KittiWaveletDecoder(num_ch_enc=num_ch_enc(args.num_layers))
 
@@ -140,7 +147,10 @@ def main(argv=None):
 
     print(f"-> Predicting on {len(paths)} test images")
     for idx, path in enumerate(paths):
-        if path.endswith("_disp.jpg"):
+        # the reference's guard checks '_disp.jpg' while writing .jpeg
+        # (`test_simple.py:126` — a second run would re-process its own
+        # colormaps); skip BOTH spellings
+        if path.endswith(("_disp.jpg", "_disp.jpeg")):
             continue
         img = Image.open(path).convert("RGB")
         ow, oh = img.size
