@@ -572,3 +572,234 @@ def test_nyu_densenet_encoder_parity(ref_nyu_encoder_cls):
     assert len(feats) == len(ref_feats) == 5
     for i, (got, want) in enumerate(zip(feats, ref_feats)):
         _assert_close(got, want, f"densenet_feat{i}", atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# KITTI ResNet encoder: input normalization + architecture parity against
+# `KITTI/networks/encoders/resnet_encoder.py:65-98` (its (x-0.45)/0.225 at
+# :89 and the ResNetMultiImageInput rebuild at :17-59).
+#
+# torchvision is absent here, so `torchvision.models` is stubbed with a
+# from-scratch torch ResNet using the exact torchvision child names
+# (conv1/bn1/relu/maxpool/layer1..4, BasicBlock conv1/bn1/conv2/bn2/
+# downsample.{0,1}, Bottleneck conv1..3/bn1..3) and torchvision's
+# `_make_layer` semantics — the names the reference's forward drives and
+# its state_dict exposes.
+# ---------------------------------------------------------------------------
+
+class _TVBasicBlock(torch.nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inplanes, planes, 3, stride, 1,
+                                     bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + identity)
+
+
+class _TVBottleneck(torch.nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        # stride on the 3x3: torchvision resnet v1.5
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride, 1,
+                                     bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + identity)
+
+
+class _TVResNet(torch.nn.Module):
+    def __init__(self, block, layers, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+        self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+        self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+        self.avgpool = torch.nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = torch.nn.Linear(512 * block.expansion, num_classes)
+
+    def _make_layer(self, block, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(self.inplanes, planes * block.expansion,
+                                1, stride, bias=False),
+                torch.nn.BatchNorm2d(planes * block.expansion))
+        layers = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, blocks):
+            layers.append(block(self.inplanes, planes))
+        return torch.nn.Sequential(*layers)
+
+
+def _tv_resnet18(pretrained=False):
+    assert not pretrained
+    return _TVResNet(_TVBasicBlock, [2, 2, 2, 2])
+
+
+def _tv_resnet50(pretrained=False):
+    assert not pretrained
+    return _TVResNet(_TVBottleneck, [3, 4, 6, 3])
+
+
+@pytest.fixture(scope="module")
+def ref_kitti_resnet_encoder_cls():
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+    tv_resnet.BasicBlock = _TVBasicBlock
+    tv_resnet.Bottleneck = _TVBottleneck
+    tv_resnet.model_urls = {}
+    tv_models.resnet = tv_resnet
+    tv_models.ResNet = _TVResNet
+    tv_models.resnet18 = _tv_resnet18
+    tv_models.resnet50 = _tv_resnet50
+    for name in ("resnet34", "resnet101", "resnet152"):
+        setattr(tv_models, name, _tv_resnet18)   # present, unused
+    tv.models = tv_models
+    keys = ("torchvision", "torchvision.models",
+            "torchvision.models.resnet")
+    saved = {k: sys.modules.get(k) for k in keys}
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    sys.modules["torchvision.models.resnet"] = tv_resnet
+    try:
+        mod = _load_by_path(
+            "ref_kitti_resnet_encoder",
+            f"{REF_KITTI}/networks/encoders/resnet_encoder.py")
+        yield mod.ResnetEncoder
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        sys.modules.pop("ref_kitti_resnet_encoder", None)
+
+
+def _randomize_torch_state(ref: torch.nn.Module, seed: int):
+    """Randomize weights AND BN running stats (defaults are (0,1) which
+    would hide normalization/stat-mapping bugs)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            continue
+        r = 0.05 * torch.randn(v.shape, generator=g)
+        sd[k] = r.abs() + 0.5 if k.endswith("running_var") else r
+    ref.load_state_dict(sd)
+    ref.eval()
+    return ref
+
+
+def _check_kitti_resnet_parity(ref_cls, num_layers, seed, atol):
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder
+
+    torch.manual_seed(seed)
+    ref = _randomize_torch_state(ref_cls(num_layers, pretrained=False),
+                                 seed + 1)
+    g = torch.Generator().manual_seed(seed + 2)
+    x = torch.rand(2, 3, 64, 96, generator=g)    # [0,1] image range
+    with torch.no_grad():
+        ref_feats = ref(x)
+
+    variables = ti.import_resnet_encoder(_sd_numpy(ref), num_layers)
+    ours = ResnetEncoder(num_layers=num_layers)
+    feats = ours.apply(variables, jnp.asarray(_nhwc(x)), train=False)
+    assert len(feats) == len(ref_feats) == 5
+    for i, (got, want) in enumerate(zip(feats, ref_feats)):
+        _assert_close(got, want, f"r{num_layers}_feat{i}", atol=atol)
+
+
+def test_kitti_resnet18_encoder_parity(ref_kitti_resnet_encoder_cls):
+    """R18 full-forward parity, including the (x-0.45)/0.225 input
+    normalization (`resnet_encoder.py:89`) which our eval path folds into
+    the stem conv + BN affine (models/resnet.py) — this drives the folded
+    branch against the reference's standalone normalize."""
+    _check_kitti_resnet_parity(ref_kitti_resnet_encoder_cls, 18, 30,
+                               atol=1e-4)
+
+
+def test_kitti_resnet50_encoder_parity(ref_kitti_resnet_encoder_cls):
+    """R50 (Bottleneck, v1.5 stride placement) full-forward parity."""
+    _check_kitti_resnet_parity(ref_kitti_resnet_encoder_cls, 50, 32,
+                               atol=2e-4)
+
+
+def test_kitti_resnet_multiimage_encoder_parity(
+        ref_kitti_resnet_encoder_cls):
+    """Pose-encoder path: ResNetMultiImageInput with 2 stacked frames
+    (`resnet_encoder.py:17-59`) vs our ResnetEncoder(num_input_images=2)
+    on the same (directly imported, 6-channel-stem) weights."""
+    from wavelet_monodepth_tpu.models.resnet import ResnetEncoder
+
+    torch.manual_seed(34)
+    ref = _randomize_torch_state(
+        ref_kitti_resnet_encoder_cls(18, pretrained=False,
+                                     num_input_images=2), 35)
+    g = torch.Generator().manual_seed(36)
+    x = torch.rand(2, 6, 64, 96, generator=g)
+    with torch.no_grad():
+        ref_feats = ref(x)
+
+    variables = ti.import_resnet_encoder(_sd_numpy(ref), 18)
+    ours = ResnetEncoder(num_layers=18, num_input_images=2)
+    feats = ours.apply(variables, jnp.asarray(_nhwc(x)), train=False)
+    for i, (got, want) in enumerate(zip(feats, ref_feats)):
+        _assert_close(got, want, f"multiimage_feat{i}", atol=1e-4)
+
+
+def test_kitti_mobilenetv2_encoder_parity():
+    """`mobilenetv2_encoder.py:80-164` is self-contained torch (no
+    torchvision import; pretrained=False never touches model_zoo), so the
+    ACTUAL reference module runs unstubbed. Note its forward does NOT
+    normalize the input (`:144-146`), unlike the resnet encoder — ours
+    matches. Exercises the new import_mobilenetv2_encoder mapping."""
+    from wavelet_monodepth_tpu.models.mobilenetv2 import MobileNetV2Encoder
+
+    mod = _load_by_path(
+        "ref_kitti_mobilenetv2_encoder",
+        f"{REF_KITTI}/networks/encoders/mobilenetv2_encoder.py")
+    torch.manual_seed(38)
+    ref = _randomize_torch_state(
+        mod.MobileNetV2Encoder(pretrained=False, use_last_layer=True), 39)
+    g = torch.Generator().manual_seed(40)
+    x = torch.rand(2, 3, 64, 96, generator=g)
+    with torch.no_grad():
+        ref_feats = ref(x)
+
+    variables = ti.import_mobilenetv2_encoder(_sd_numpy(ref))
+    ours = MobileNetV2Encoder(use_last_layer=True)
+    feats = ours.apply(variables, jnp.asarray(_nhwc(x)), train=False)
+    assert len(feats) == len(ref_feats) == 5
+    assert [f.shape[-1] for f in feats] == [32, 24, 32, 64, 1280]
+    for i, (got, want) in enumerate(zip(feats, ref_feats)):
+        _assert_close(got, want, f"mbv2_feat{i}", atol=1e-4)

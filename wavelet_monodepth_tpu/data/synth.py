@@ -1,0 +1,176 @@
+"""Synthetic KITTI-layout dataset fabricator (geometrically exact).
+
+Renders fronto-parallel textured rectangles at known metric depths over a
+far background plane, producing stereo pairs whose pixel disparity is
+exactly ``f * B / Z`` under the framework's nominal intrinsics
+(`data/kitti.py` K_NORM, 0.1 m baseline — `kitti_dataset.py:24-28`,
+`mono_dataset.py` stereo_T convention: content appears at smaller x in
+image_03). Because the same texture array is pasted in both views, SGBM
+depth-hint precompute, the photometric training loss, and the eigen eval
+protocol all see mutually consistent geometry — training on this mount
+genuinely learns depth, which makes it a full-system soak / self-golden
+gate for the production pipeline when real KITTI data is unavailable
+(the reference's de-facto test is its published eigen table,
+`/root/reference/README.md:79-84`).
+
+Writes the raw-KITTI directory scheme plus a split dir the CLIs resolve
+via ``<data_path>/splits/<name>`` (data/splits.py:42-43):
+
+  <root>/2011_09_26/2011_09_26_drive_%04d_sync/image_0{2,3}/data/*.jpg
+  <root>/splits/eigen/{train,val,test}_files.txt
+  <root>/splits/eigen/gt_depths.npz          (test-frame left-cam depth)
+
+Disparities are rounded to whole full-res pixels and the stored GT depth
+is recomputed from the *rounded* disparity, so GT and photometry agree
+to the pixel, not just to the random draw.
+
+Usage:
+  python -m wavelet_monodepth_tpu.data.synth --root /tmp/kitti_synth \
+      --n_train 480 --n_val 24 --n_test 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+FULL_W, FULL_H = 1242, 375
+FOCAL = 0.58 * FULL_W          # K_NORM[0,0] * width
+BASELINE = 0.1                 # nominal rig (mono_dataset stereo_T)
+BG_DEPTH = 70.0                # < MAX_DEPTH=80 so eval masks keep it
+DATE = "2011_09_26"
+FRAMES_PER_DRIVE = 48
+
+
+def _texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """Base color + smooth low-frequency blobs + fine grain: enough
+    high-frequency content for SGBM block matching, smooth enough that
+    bilinear warps in the photometric loss behave."""
+    import cv2
+    base = rng.uniform(40, 215, size=3)
+    low = cv2.resize(
+        rng.uniform(-1, 1, (max(2, h // 24), max(2, w // 24), 3)),
+        (w, h), interpolation=cv2.INTER_CUBIC)
+    fine = rng.uniform(-1, 1, (h, w, 1))
+    tex = base[None, None] + 38.0 * low + 18.0 * fine
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+def _snap_depth(z: float) -> tuple[float, int]:
+    """Round the full-res disparity to an integer pixel and return the
+    depth implied by that rounded disparity (plus the disparity)."""
+    d = int(round(FOCAL * BASELINE / z))
+    d = max(d, 1)
+    return FOCAL * BASELINE / d, d
+
+
+def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
+    """One scene -> (left u8 HxWx3, right u8 HxWx3, depth f32 HxW).
+
+    Painter's algorithm far->near; each object pasted at x in the left
+    view and x - disp in the right view (KITTI: image_02 is the left
+    color camera, so scene content sits at smaller x in image_03)."""
+    if n_objects is None:
+        n_objects = rng.randint(16, 28)
+
+    bg_z, bg_d = _snap_depth(BG_DEPTH)
+    # background texture wider than the frame so the right view is the
+    # same plane seen bg_d pixels to the left
+    bg_tex = _texture(rng, FULL_H, FULL_W + bg_d)
+    left = bg_tex[:, bg_d:bg_d + FULL_W].copy()
+    right = bg_tex[:, :FULL_W].copy()
+    depth = np.full((FULL_H, FULL_W), bg_z, np.float32)
+
+    zs = np.sort(np.exp(rng.uniform(np.log(3.0), np.log(40.0),
+                                    n_objects)))[::-1]
+    for z in zs:
+        z_eff, d = _snap_depth(float(z))
+        w = rng.randint(60, 420)
+        h = rng.randint(40, 260)
+        x0 = rng.randint(-w // 3, FULL_W - 2 * w // 3)
+        y0 = rng.randint(-h // 3, FULL_H - 2 * h // 3)
+        tex = _texture(rng, h, w)
+
+        # left-view paste (clipped to frame)
+        lx0, ly0 = max(x0, 0), max(y0, 0)
+        lx1, ly1 = min(x0 + w, FULL_W), min(y0 + h, FULL_H)
+        if lx1 > lx0 and ly1 > ly0:
+            left[ly0:ly1, lx0:lx1] = tex[ly0 - y0:ly1 - y0,
+                                         lx0 - x0:lx1 - x0]
+            depth[ly0:ly1, lx0:lx1] = z_eff
+        # right-view paste, shifted by the (integer) disparity
+        rx = x0 - d
+        rx0, rx1 = max(rx, 0), min(rx + w, FULL_W)
+        if rx1 > rx0 and ly1 > ly0:
+            right[ly0:ly1, rx0:rx1] = tex[ly0 - y0:ly1 - y0,
+                                          rx0 - rx:rx1 - rx]
+    return left, right, depth
+
+
+def fabricate(root: str, n_train: int = 480, n_val: int = 24,
+              n_test: int = 32, split: str = "eigen", seed: int = 0,
+              jpeg_quality: int = 95, progress: bool = True) -> dict:
+    """Render and write the full mount; returns {'split_dir': ...}."""
+    import cv2
+    rng = np.random.RandomState(seed)
+    split_dir = os.path.join(root, "splits", split)
+    os.makedirs(split_dir, exist_ok=True)
+
+    total = n_train + n_val + n_test
+    lines: list[str] = []
+    gt: list[np.ndarray] = []
+    for i in range(total):
+        drive = i // FRAMES_PER_DRIVE + 1
+        frame = i % FRAMES_PER_DRIVE
+        folder = f"{DATE}/{DATE}_drive_{drive:04d}_sync"
+        l_img, r_img, depth = render_scene(rng)
+        for side, img in (("image_02", l_img), ("image_03", r_img)):
+            d = os.path.join(root, folder, side, "data")
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(os.path.join(d, f"{frame:010d}.jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality])
+        lines.append(f"{folder} {frame}")
+        if i >= n_train + n_val:
+            gt.append(depth)
+        if progress and i and i % 100 == 0:
+            print(f"rendered {i}/{total} scenes")
+
+    def write(name, rows):
+        with open(os.path.join(split_dir, name), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    # train/val items exist for both sides (the loader's stereo frame is
+    # the other camera); test is left-only to match the stored GT
+    train = lines[:n_train]
+    val = lines[n_train:n_train + n_val]
+    test = lines[n_train + n_val:]
+    write("train_files.txt",
+          [f"{ln} {s}" for ln in train for s in ("l", "r")])
+    write("val_files.txt", [f"{ln} {s}" for ln in val for s in ("l", "r")])
+    write("test_files.txt", [f"{ln} l" for ln in test])
+    np.savez_compressed(
+        os.path.join(split_dir, "gt_depths.npz"),
+        data=np.array(gt, dtype=object))
+    return {"split_dir": split_dir, "n_items_train": 2 * n_train}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="synthetic KITTI fabricator")
+    p.add_argument("--root", required=True)
+    p.add_argument("--n_train", type=int, default=480)
+    p.add_argument("--n_val", type=int, default=24)
+    p.add_argument("--n_test", type=int, default=32)
+    p.add_argument("--split", default="eigen")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    out = fabricate(args.root, args.n_train, args.n_val, args.n_test,
+                    args.split, args.seed)
+    print(f"wrote {out['n_items_train']} train items; "
+          f"split dir {out['split_dir']}")
+
+
+if __name__ == "__main__":
+    main()

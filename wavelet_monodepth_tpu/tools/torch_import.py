@@ -123,6 +123,56 @@ def import_resnet_encoder_multiimage(sd: dict, num_layers: int,
     return v
 
 
+# MobileNetV2 settings table (`mobilenetv2_encoder.py:97-105`): the
+# expand-1 first block has a 2-entry Sequential layout, the rest 4-entry.
+_MBV2_SETTINGS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                  (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2))
+
+
+def import_mobilenetv2_encoder(sd: dict, use_last_layer: bool = True,
+                               prefix: str = "") -> dict:
+    """Reference `MobileNetV2Encoder` state_dict -> flax variables for
+    models/mobilenetv2.MobileNetV2Encoder.
+
+    The reference registers its layers directly as `features.<i>`
+    (`mobilenetv2_encoder.py:113-134`: ModuleList, no wrapper scope like
+    the resnet's 'encoder.'), so checkpoints saved by the trainer carry
+    raw `features.` names; prefix exists for re-scoped dumps. Sequential
+    child indices inside each InvertedResidual follow
+    `mobilenetv2_encoder.py:55-71`: with expansion it is
+    [ConvBNReLU6(pw), ConvBNReLU6(dw), Conv2d, BatchNorm2d]; the
+    expand_ratio=1 first block drops the pw stage."""
+    params: dict = {}
+    stats: dict = {}
+    p = prefix
+
+    def put(tconv, tbn, jpath, depthwise=False):
+        _set(params, jpath + ["conv", "kernel"],
+             _dw_conv_w(sd[f"{tconv}.weight"]) if depthwise
+             else _conv_w(sd[f"{tconv}.weight"]))
+        _put_bn(params, stats, sd, tbn, jpath + ["bn"])
+
+    put(f"{p}features.0.0", f"{p}features.0.1", ["stem"])
+    bi = 0
+    for t, _c, n, _s in _MBV2_SETTINGS:
+        for _ in range(n):
+            base = f"{p}features.{bi + 1}.conv"
+            name = f"block_{bi}"
+            if t != 1:
+                put(f"{base}.0.0", f"{base}.0.1", [name, "expand"])
+                put(f"{base}.1.0", f"{base}.1.1", [name, "depthwise"],
+                    depthwise=True)
+                put(f"{base}.2", f"{base}.3", [name, "project"])
+            else:
+                put(f"{base}.0.0", f"{base}.0.1", [name, "depthwise"],
+                    depthwise=True)
+                put(f"{base}.1", f"{base}.2", [name, "project"])
+            bi += 1
+    if use_last_layer:
+        put(f"{p}features.17.0", f"{p}features.17.1", ["last"])
+    return {"params": params, "batch_stats": stats}
+
+
 def encoder_metadata(sd: dict) -> dict:
     """height/width/use_stereo ints the reference embeds in encoder.pth
     (`trainer.py:743-747`)."""
