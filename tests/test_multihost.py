@@ -28,9 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_results(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("mh")
+def _run_workers(tmp, mode: str):
     port, nproc = _free_port(), 2
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
@@ -40,7 +38,8 @@ def worker_results(tmp_path_factory):
         out = str(tmp / f"out{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(nproc), str(port), out],
+            [sys.executable, WORKER, str(pid), str(nproc), str(port), out,
+             mode],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT))
     logs = []
@@ -55,6 +54,16 @@ def worker_results(tmp_path_factory):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
     return [json.load(open(o)) for o in outs]
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    return _run_workers(tmp_path_factory.mktemp("mh"), "kitti")
+
+
+@pytest.fixture(scope="module")
+def nyu_worker_results(tmp_path_factory):
+    return _run_workers(tmp_path_factory.mktemp("mh_nyu"), "nyu")
 
 
 def test_two_processes_assemble_global_batch_and_step(worker_results):
@@ -121,4 +130,47 @@ def test_multihost_losses_match_single_process(worker_results):
         ref_losses.append(float(losses["loss"]))
 
     for r in worker_results:
+        np.testing.assert_allclose(r["losses"], ref_losses, rtol=2e-4)
+
+
+def test_nyu_two_processes_lockstep_and_checkpoint(nyu_worker_results):
+    """train_nyu.py's multi-host path (`train_nyu.py:41-43,57-69,154-162`):
+    pair-list process_shard is disjoint/interleaved, the assembled global
+    batch has the full batch dim, both processes compute identical losses
+    and params, and the collective orbax checkpoint round-trips."""
+    r0, r1 = sorted(nyu_worker_results, key=lambda r: r["pid"])
+
+    pairs = [[f"rgb_{i:02d}.png", f"depth_{i:02d}.png"] for i in range(11)]
+    assert r0["shard"] == pairs[0::2]
+    assert r1["shard"] == pairs[1::2]
+
+    assert r0["n_devices"] == r1["n_devices"] == 4
+    assert r0["global_batch_dim"] == r1["global_batch_dim"] == 4
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    assert r0["fingerprint"] == pytest.approx(r1["fingerprint"], rel=1e-6)
+    for r in (r0, r1):
+        assert r["orbax_fingerprint"] == pytest.approx(r["fingerprint"],
+                                                       rel=1e-6)
+
+
+def test_nyu_multihost_losses_match_single_process(nyu_worker_results):
+    """The 2-process NYU run equals one process on the same global batch."""
+    from wavelet_monodepth_tpu.train.nyu import NyuTrainSetup
+    from wavelet_monodepth_tpu.utils.config import NyuOptions
+    opts = NyuOptions(encoder_type="mobilenet_light", use_wavelets=True,
+                      batch_size=4)
+    setup = NyuTrainSetup(opts)
+    setup.input_hw = (64, 96)
+    setup.depth_hw = (32, 48)
+    state = setup.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    image = rng.rand(4, 64, 96, 3).astype(np.float32)
+    depth = (rng.rand(4, 32, 48, 1) * 990 + 10).astype(np.float32)
+    step_fn = setup.jit_train_step()
+    ref_losses = []
+    for _ in range(2):
+        state, losses = step_fn(state, image, depth)
+        ref_losses.append(float(losses["loss"]))
+
+    for r in nyu_worker_results:
         np.testing.assert_allclose(r["losses"], ref_losses, rtol=2e-4)
