@@ -2,10 +2,11 @@
 
 Renders fronto-parallel textured rectangles at known metric depths over a
 far background plane, producing stereo pairs whose pixel disparity is
-exactly ``f * B / Z`` under the framework's nominal intrinsics
-(`data/kitti.py` K_NORM, 0.1 m baseline — `kitti_dataset.py:24-28`,
-`mono_dataset.py` stereo_T convention: content appears at smaller x in
-image_03). Because the same texture array is pasted in both views, SGBM
+exactly ``f * B / Z`` with B the TRUE rig baseline (0.54 m, like the real
+KITTI rig) while the loader/trainer keep assuming the NOMINAL 0.1 m
+(`data/kitti.py` K_NORM — `kitti_dataset.py:24-28`, `mono_dataset.py`
+stereo_T convention: content appears at smaller x in image_03), so the
+published eval protocol's ×5.4 stereo scaling applies unmodified. Because the same texture array is pasted in both views, SGBM
 depth-hint precompute, the photometric training loss, and the eigen eval
 protocol all see mutually consistent geometry — training on this mount
 genuinely learns depth, which makes it a full-system soak / self-golden
@@ -38,7 +39,12 @@ import numpy as np
 
 FULL_W, FULL_H = 1242, 375
 FOCAL = 0.58 * FULL_W          # K_NORM[0,0] * width
-BASELINE = 0.1                 # nominal rig (mono_dataset stereo_T)
+# TRUE rig baseline vs the 0.1 m NOMINAL the loader/trainer assume
+# (`mono_dataset.py` stereo_T): 0.54 m reproduces KITTI's actual rig, so
+# models trained on this mount predict depth/5.4 and the eval protocol's
+# STEREO_SCALE_FACTOR=5.4 (`evaluate_depth.py:295`, eval/kitti_eval.py)
+# recovers metric depth — the full published protocol applies unmodified.
+BASELINE = 0.54
 BG_DEPTH = 70.0                # < MAX_DEPTH=80 so eval masks keep it
 DATE = "2011_09_26"
 FRAMES_PER_DRIVE = 48
