@@ -172,6 +172,36 @@ def test_chunk_trigger_is_shape_driven():
     assert n_small == 1, n_small
 
 
+def test_chunks_are_equal_sized(monkeypatch):
+    """Equal-chunk invariant (round-5 NaN fix): on the TPU backend,
+    jnp.concatenate of per-chunk takes under jax.grad miscompiles (the
+    fused fwd+bwd program corrupts the last chunk's forward tail —
+    tools_dev/warp_chunk_nan_experiment.py). The fix combines chunks
+    with jnp.stack, which requires the chunk size to DIVIDE the local
+    batch: the trace must show n/divisor equal takes, never a ragged
+    tail chunk."""
+    from wavelet_monodepth_tpu.ops import image as image_mod
+
+    n, hh, ww = 5, 12, 30
+    img = jnp.zeros((n, hh, ww, 3), jnp.float32)
+    grid = jnp.zeros((n, 9, 17, 2), jnp.float32)
+    per_img = hh * ww * 4 * 3 * 4
+    # budget of 2 images/take, but 2 does not divide 5 -> fall back to
+    # the largest divisor (1): five equal takes
+    monkeypatch.setattr(image_mod, "_TAKE_OPERAND_MAX_BYTES", 2 * per_img)
+    n_takes = str(jax.make_jaxpr(grid_sample_border)(img, grid)
+                  ).count("name=_take")
+    assert n_takes == 5, n_takes
+    # budget fits a divisor (4 of 8) -> two equal 4-image takes
+    img8 = jnp.zeros((8, hh, ww, 3), jnp.float32)
+    grid8 = jnp.zeros((8, 9, 17, 2), jnp.float32)
+    monkeypatch.setattr(image_mod, "_TAKE_OPERAND_MAX_BYTES",
+                        4 * per_img)
+    n_takes = str(jax.make_jaxpr(grid_sample_border)(img8, grid8)
+                  ).count("name=_take")
+    assert n_takes == 2, n_takes
+
+
 def test_chunked_take_under_data_mesh(capfd):
     """Anti-cliff chunking under a 'data'-sharded batch: with
     batch_shards set, takes are sized per shard and chunk boundaries

@@ -73,11 +73,13 @@ def _snap_depth(z: float) -> tuple[float, int]:
 
 
 def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
-    """One scene -> (left u8 HxWx3, right u8 HxWx3, depth f32 HxW).
+    """One scene -> (left u8, right u8 HxWx3, depth f32 HxW, depth_r).
 
     Painter's algorithm far->near; each object pasted at x in the left
     view and x - disp in the right view (KITTI: image_02 is the left
-    color camera, so scene content sits at smaller x in image_03)."""
+    color camera, so scene content sits at smaller x in image_03).
+    ``depth``/``depth_r`` are the per-view TRUE depth maps (left and
+    right camera respectively), each consistent with its own image."""
     if n_objects is None:
         n_objects = rng.randint(16, 28)
 
@@ -88,6 +90,7 @@ def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
     left = bg_tex[:, bg_d:bg_d + FULL_W].copy()
     right = bg_tex[:, :FULL_W].copy()
     depth = np.full((FULL_H, FULL_W), bg_z, np.float32)
+    depth_r = np.full((FULL_H, FULL_W), bg_z, np.float32)
 
     zs = np.sort(np.exp(rng.uniform(np.log(3.0), np.log(40.0),
                                     n_objects)))[::-1]
@@ -112,13 +115,24 @@ def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
         if rx1 > rx0 and ly1 > ly0:
             right[ly0:ly1, rx0:rx1] = tex[ly0 - y0:ly1 - y0,
                                           rx0 - rx:rx1 - rx]
-    return left, right, depth
+            depth_r[ly0:ly1, rx0:rx1] = z_eff
+    return left, right, depth, depth_r
 
 
 def fabricate(root: str, n_train: int = 480, n_val: int = 24,
               n_test: int = 32, split: str = "eigen", seed: int = 0,
-              jpeg_quality: int = 95, progress: bool = True) -> dict:
-    """Render and write the full mount; returns {'split_dir': ...}."""
+              jpeg_quality: int = 95, progress: bool = True,
+              write_hints: bool = False,
+              hint_size: tuple[int, int] = (192, 640)) -> dict:
+    """Render and write the full mount; returns {'split_dir': ...}.
+
+    write_hints=True also writes GEOMETRICALLY EXACT depth hints
+    (depth_hints/<folder>/image_0{2,3}/<frame>.npy, [1,h,w] like
+    tools/precompute_depth_hints.py) for train/val frames: the per-view
+    true depth divided by 5.4 — i.e. expressed at the loader's nominal
+    0.1 m baseline exactly as the SGBM precompute stores it (its
+    disp->depth uses BASELINE=0.1). Lets tests exercise the hint-
+    supervised production config without the multi-minute SGBM pass."""
     import cv2
     rng = np.random.RandomState(seed)
     split_dir = os.path.join(root, "splits", split)
@@ -131,13 +145,21 @@ def fabricate(root: str, n_train: int = 480, n_val: int = 24,
         drive = i // FRAMES_PER_DRIVE + 1
         frame = i % FRAMES_PER_DRIVE
         folder = f"{DATE}/{DATE}_drive_{drive:04d}_sync"
-        l_img, r_img, depth = render_scene(rng)
+        l_img, r_img, depth, depth_r = render_scene(rng)
         for side, img in (("image_02", l_img), ("image_03", r_img)):
             d = os.path.join(root, folder, side, "data")
             os.makedirs(d, exist_ok=True)
             cv2.imwrite(os.path.join(d, f"{frame:010d}.jpg"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                         [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality])
+        if write_hints and i < n_train + n_val:
+            hh, hw = hint_size
+            for side, dmap in (("image_02", depth), ("image_03", depth_r)):
+                d = os.path.join(root, "depth_hints", folder, side)
+                os.makedirs(d, exist_ok=True)
+                hint = cv2.resize(dmap / 5.4, (hw, hh),
+                                  interpolation=cv2.INTER_NEAREST)
+                np.save(os.path.join(d, f"{frame:010d}.npy"), hint[None])
         lines.append(f"{folder} {frame}")
         if i >= n_train + n_val:
             gt.append(depth)
@@ -157,9 +179,14 @@ def fabricate(root: str, n_train: int = 480, n_val: int = 24,
           [f"{ln} {s}" for ln in train for s in ("l", "r")])
     write("val_files.txt", [f"{ln} {s}" for ln in val for s in ("l", "r")])
     write("test_files.txt", [f"{ln} l" for ln in test])
+    # 1-D object array of 2-D float maps (np.array(gt, object) on the
+    # all-same-shape synth maps would build a 3-D array of object
+    # SCALARS, which real KITTI never produces and np.log rejects)
+    gt_arr = np.empty(len(gt), object)
+    for i, d in enumerate(gt):
+        gt_arr[i] = d
     np.savez_compressed(
-        os.path.join(split_dir, "gt_depths.npz"),
-        data=np.array(gt, dtype=object))
+        os.path.join(split_dir, "gt_depths.npz"), data=gt_arr)
     return {"split_dir": split_dir, "n_items_train": 2 * n_train}
 
 
@@ -171,9 +198,11 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=32)
     p.add_argument("--split", default="eigen")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--write_hints", action="store_true",
+                   help="also write exact depth hints (skips SGBM)")
     args = p.parse_args(argv)
     out = fabricate(args.root, args.n_train, args.n_val, args.n_test,
-                    args.split, args.seed)
+                    args.split, args.seed, write_hints=args.write_hints)
     print(f"wrote {out['n_items_train']} train items; "
           f"split dir {out['split_dir']}")
 

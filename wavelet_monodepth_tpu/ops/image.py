@@ -150,8 +150,19 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
                               and n % batch_shards == 0) else 1
     local_n = n // shards
     per_img_bytes = h * w * 4 * c * cat.dtype.itemsize
-    imgs_per_take = max(1, min(local_n, _TAKE_OPERAND_MAX_BYTES // max(
+    budget = max(1, min(local_n, _TAKE_OPERAND_MAX_BYTES // max(
         per_img_bytes, 1)))
+    # EQUAL chunks only, so the parts can be jnp.stack-ed: on the TPU
+    # backend, jnp.concatenate of per-chunk takes under jax.grad
+    # miscompiles — the fused fwd+bwd program corrupts the tail of the
+    # last chunk's forward VALUE (128 non-finite lanes at b12 640x192;
+    # tools_dev/warp_chunk_nan_experiment.py is the minimal repro; CPU
+    # and the forward-only program are exact). stack+reshape of equal
+    # chunks lowers to a different program that matches the single-take
+    # result bit-for-bit, so chunk size = largest divisor of local_n
+    # within the operand budget (worst case 1, i.e. per-image takes).
+    imgs_per_take = next(k for k in range(budget, 0, -1)
+                         if local_n % k == 0)
     if imgs_per_take >= local_n:
         # single take per shard == the original single flat take (the
         # per-device operand is below the cliff)
@@ -162,12 +173,13 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
     elif shards == 1:
         parts = []
         for s in range(0, n, imgs_per_take):
-            e = min(n, s + imgs_per_take)
-            flat = cat[s:e].reshape((e - s) * h * w, 4 * c)
-            gidx = (jnp.arange(e - s, dtype=jnp.int32)[:, None, None]
+            e = s + imgs_per_take
+            flat = cat[s:e].reshape(imgs_per_take * h * w, 4 * c)
+            gidx = (jnp.arange(imgs_per_take,
+                               dtype=jnp.int32)[:, None, None]
                     * (h * w) + y0[s:e] * w + x0[s:e]).reshape(-1)
             parts.append(jnp.take(flat, gidx, axis=0))
-        v = jnp.concatenate(parts, axis=0).reshape(y0.shape + (4, c))
+        v = jnp.stack(parts, axis=0).reshape(y0.shape + (4, c))
     else:
         # shard-aware chunking: view the batch as (shards, local_n) and
         # slice the UNSHARDED local axis, so every chunk holds the same
@@ -178,9 +190,9 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
         y0v = y0.reshape(shards, local_n, ho, wo)
         x0v = x0.reshape(shards, local_n, ho, wo)
         parts = []
-        for s in range(0, local_n, imgs_per_take):
-            e = min(local_n, s + imgs_per_take)
-            k = e - s
+        k = imgs_per_take
+        for s in range(0, local_n, k):
+            e = s + k
             flat = catv[:, s:e].reshape(shards * k * h * w, 4 * c)
             gidx = (jnp.arange(shards * k,
                                dtype=jnp.int32)[:, None, None] * (h * w)
@@ -189,7 +201,7 @@ def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray,
                     ).reshape(-1)
             parts.append(jnp.take(flat, gidx, axis=0)
                          .reshape(shards, k, ho, wo, 4 * c))
-        v = jnp.concatenate(parts, axis=1).reshape(y0.shape + (4, c))
+        v = jnp.stack(parts, axis=1).reshape(y0.shape + (4, c))
     v00, v01, v10, v11 = (v[..., 0, :], v[..., 1, :],
                           v[..., 2, :], v[..., 3, :])
     top = v00 * (1 - wx) + v01 * wx
