@@ -46,6 +46,12 @@ ARGS = ["--data_path", DATA, "--split", "eigen",
         "--num_layers", "18", "--batch_size", "12", "--bfloat16",
         "--num_epochs", str(NUM_EPOCHS),
         "--log_frequency", "20", "--num_workers", "4",
+        # from-scratch stabilizers (utils/config.py / DEVIATIONS.md):
+        # no ImageNet weights exist offline, and a scratch init under
+        # the reference's log-depth hint loss collapses to a depth rail
+        # (round-5 diagnosis, PERF.md). The reference never trains from
+        # scratch — these two opt-ins are the offline substitute.
+        "--hint_disp_l1_weight", "1.0", "--disp_head_bias", "-4.0",
         "--model_name", MODEL, "--log_dir", LOG_DIR]
 
 LINE_RE = re.compile(

@@ -85,6 +85,7 @@ class KittiTrainSetup:
                 pd_vars = self.pose_decoder.init(r4, px)
             params["pose"] = pd_vars["params"]
         params, batch_stats = self._imagenet_init(params, batch_stats)
+        params = self._disp_head_surgery(params)
         opt_state = self.optimizer.init(params)
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state, step=jnp.int32(0))
@@ -121,6 +122,31 @@ class KittiTrainSetup:
         if jax.process_index() == 0:
             print(f"ImageNet init: encoder{' + pose_encoder' if 'pose_encoder' in params else ''} from {path}")
         return params, batch_stats
+
+    def _disp_head_surgery(self, params):
+        """opts.disp_head_bias != 0 (from-scratch stabilizer, see
+        utils/config.py): set every disparity-head conv bias so sigmoid
+        starts near the chosen disparity instead of ~0.5. Heads:
+        wavelet decoder's LL head (``waveconv_4_ll/conv/bias`` —
+        disp is built from 2^i * sigmoid(LL-head) / 2^s) and the
+        baseline decoder's per-scale ``dispconv_i/bias``. Init-value
+        change only — the param tree (and so checkpoint/importer
+        compatibility) is untouched."""
+        b = float(getattr(self.opts, "disp_head_bias", 0.0) or 0.0)
+        if not b:
+            return params
+        dp = params["depth"]
+        n = 0
+        if "waveconv_4_ll" in dp:
+            old = dp["waveconv_4_ll"]["conv"]["bias"]
+            dp["waveconv_4_ll"]["conv"]["bias"] = jnp.full_like(old, b)
+            n += 1
+        for k, v in dp.items():
+            if k.startswith("dispconv_"):
+                v["bias"] = jnp.full_like(v["bias"], b)
+                n += 1
+        assert n, "disp_head_bias set but no disparity head found"
+        return params
 
     # ------------------------------------------------------------------
     def _predict_poses(self, params, batch_stats, inputs, train: bool):

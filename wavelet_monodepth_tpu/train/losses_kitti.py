@@ -250,6 +250,26 @@ def compute_losses_hints(inputs: Dict, outputs: Dict, opts,
 
         loss = reproj_term + hint_term
 
+        # opt-in scratch-training stabilizer (NOT in the reference, see
+        # utils/config.py hint_disp_l1_weight / DEVIATIONS.md): masked L1
+        # in sigmoid-disparity space against the loader's ("disp_hint",).
+        # The reference's log-depth hint gradient scales ~depth^2, which
+        # drags a scratch init onto a depth rail; this term's gradient is
+        # bounded. Applied wherever the hint mask is valid (no argmin
+        # gating — it must hold the solution in-basin even where the
+        # photometric term currently wins).
+        w_disp = getattr(opts, "hint_disp_l1_weight", 0.0)
+        if opts.use_depth_hints and w_disp:
+            dh = inputs[("disp_hint",)]
+            mask = inputs[("depth_hint_mask",)]
+            disp_full = (disp if disp.shape[1:3] == dh.shape[1:3]
+                         else resize_bilinear(disp, dh.shape[1],
+                                              dh.shape[2]))
+            l1 = jnp.abs(disp_full - dh) * mask
+            disp_term = w_disp * jnp.sum(l1) / (jnp.sum(mask) + 1e-7)
+            losses[f"hint_disp_l1/{scale}"] = disp_term
+            loss = loss + disp_term
+
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)
         smooth = get_smooth_loss(norm_disp, color, opts.smoothness_gamma)

@@ -84,6 +84,8 @@ class KittiOptions:
     stereo_warp_kernel: str = "auto"       # "s"-frame/hint reprojection backend: "auto" = the batch-chunked flat-row gather at every shape (it beats the Pallas banded warp ops/warp.py everywhere once the XLA operand-size gather cliff is chunked away: 1.2-1.3x at 1024x320, PERF.md rounds 3c-4); "on" forces the banded kernel (re-A/B on other hardware generations), "off" forces the gather.
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
+    hint_disp_l1_weight: float = 0.0       # opt-in scratch-training stabilizer (DEVIATIONS.md): adds weight * masked-L1 between each scale's sigmoid disparity and the hint disparity (the loader's ("disp_hint",) key). The reference's hint loss is log(|depth diff|+1) whose gradient in disparity space scales ~depth^2, so a scratch-initialized net (no ImageNet weights available offline) collapses to a depth rail within steps; the disp-space L1 has bounded gradients. 0 (default) = reference semantics exactly
+    disp_head_bias: float = 0.0            # init-time surgery (DEVIATIONS.md): set the disparity-head conv biases so sigmoid starts near a chosen disparity (e.g. -4 -> disp ~0.018, depth ~5 m on the stable approach-from-above side). 0 (default) = untouched flax init. Pairs with hint_disp_l1_weight for from-scratch runs; the reference never needs it because it always starts from ImageNet
     host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
     coordinator_address: Optional[str] = None  # multi-host: coordinator host:port for jax.distributed.initialize (same value on every host). On TPU pods leave unset — autodetected when JAX_NUM_PROCESSES/the pod runtime provide it. See MIGRATION.md "Multi-host".
     num_processes: Optional[int] = None        # multi-host: total process count (one per host)
