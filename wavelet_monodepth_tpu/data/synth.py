@@ -190,6 +190,42 @@ def fabricate(root: str, n_train: int = 480, n_val: int = 24,
     return {"split_dir": split_dir, "n_items_train": 2 * n_train}
 
 
+def fabricate_nyu(zip_path: str, n_train: int = 480, seed: int = 0,
+                  depth_scale: float = 0.25) -> dict:
+    """Synthetic nyu_data.zip (DenseDepth train layout, `NYUv2/data.py:
+    71-85`): data/nyu2_train.csv rows of (rgb png 640x480, depth png).
+    RGB/depth come from the SAME renderer as the KITTI mount (left view
+    + left-camera true depth), with depths compressed by ``depth_scale``
+    into NYU's indoor range (default 0.75-17.5 m, clamped by the train
+    transform to 10 m — `data.py:107-140`: 8-bit depth png -> /255 ->
+    x1000 -> clamp [10, 1000] cm). Gives the NYU soak a supervised
+    target with real scene structure instead of noise."""
+    import io as _io
+    import zipfile
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(n_train):
+            left, _, depth, _ = render_scene(rng)
+            img = cv2.resize(left, (640, 480),
+                             interpolation=cv2.INTER_AREA)
+            d = cv2.resize(depth * depth_scale, (640, 480),
+                           interpolation=cv2.INTER_NEAREST)
+            d8 = np.clip(d / 10.0 * 255.0, 1, 255).astype(np.uint8)
+            ok1, ib = cv2.imencode(".png", cv2.cvtColor(img,
+                                                        cv2.COLOR_RGB2BGR))
+            ok2, db = cv2.imencode(".png", d8)
+            assert ok1 and ok2
+            zf.writestr(f"data/img_{i:05d}.png", ib.tobytes())
+            zf.writestr(f"data/dep_{i:05d}.png", db.tobytes())
+            rows.append(f"data/img_{i:05d}.png,data/dep_{i:05d}.png")
+        zf.writestr("data/nyu2_train.csv", "\n".join(rows))
+    return {"zip": zip_path, "n_train": n_train}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="synthetic KITTI fabricator")
     p.add_argument("--root", required=True)
