@@ -1,7 +1,9 @@
 """Benchmark grid over the published configs (BASELINE.md rows):
 KITTI R18/R50 x 640x192/1024x320 and NYU DenseNet161 640x480,
 dense vs masked-sparse, f32 vs bf16 — slope-measured device time
-(the method validated against jax.profiler traces, PERF.md "traced").
+(the method validated against jax.profiler traces, PERF.md "traced"),
+--windows independent measurement windows per variant (median +
+[min, max] reported; shared-tenancy swings absolute numbers 2-4x).
 
 Emits one JSON line per (config, variant) and a final summary line.
 Expected runtime: tens of minutes (every variant is a fresh remote
@@ -45,6 +47,10 @@ def main(argv=None):
     p.add_argument("--k0", type=int, default=1)
     p.add_argument("--k1", type=int, default=9)
     p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--windows", type=int, default=3,
+                   help="independent measurement windows per variant; "
+                        "rows report median + [min, max] spread (device "
+                        "tenancy swings absolute numbers 2-4x, PERF.md)")
     p.add_argument("--configs", nargs="+", default=list(CONFIGS))
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
@@ -53,8 +59,11 @@ def main(argv=None):
 
     from ..utils.timing import slope_time
 
-    def slope(fn):
-        return slope_time(fn, args.k0, args.k1, reps=args.reps)
+    def slope_windows(fn):
+        import statistics
+        vals = [slope_time(fn, args.k0, args.k1, reps=args.reps)
+                for _ in range(args.windows)]
+        return statistics.median(vals), min(vals), max(vals)
 
     from ..utils import maskgen as mg
 
@@ -85,23 +94,31 @@ def main(argv=None):
         dv = decoder.init(rng, encoder.apply(ev, x1))
 
         def make_chained(ev_, dv_, img, th):
+            # variables/image/masks are jit ARGUMENTS, not closed-over
+            # constants: constants are serialized into the remote-compile
+            # request body (f32 DenseNet161 ~115 MB -> the relay's HTTP
+            # 413 body limit; the round-4 grid's NYU f32 holes) and cost
+            # ~1.3 ms per execution on this backend (CLAUDE.md/PERF.md).
+            sparse = th is not None
+            with_masks = sparse and masks is not None
             @functools.partial(jax.jit, static_argnames=("k",))
-            def chained(k):
+            def chained(ev_a, dv_a, img_a, masks_a, k):
                 def body(i, carry):
-                    xi = img + (carry * 1e-9).astype(img.dtype)
-                    feats = encoder.apply(ev_, xi)
-                    if th is None:
-                        out = decoder.apply(dv_, feats)
-                    elif masks is not None:
-                        out = decoder.apply(dv_, feats, thresh_ratio=th,
-                                            mask_override=masks)
+                    xi = img_a + (carry * 1e-9).astype(img_a.dtype)
+                    feats = encoder.apply(ev_a, xi)
+                    if not sparse:
+                        out = decoder.apply(dv_a, feats)
+                    elif with_masks:
+                        out = decoder.apply(dv_a, feats, thresh_ratio=th,
+                                            mask_override=masks_a)
                     else:
-                        out = decoder.apply(dv_, feats, thresh_ratio=th)
+                        out = decoder.apply(dv_a, feats, thresh_ratio=th)
                     return carry + out[("disp", 0)].sum().astype(
                         jnp.float32)
                 import jax.lax as lax
                 return lax.fori_loop(0, k, body, jnp.float32(0.0))
-            return lambda k: float(chained(k=k))
+            m_arg = masks if with_masks else {}
+            return lambda k: float(chained(ev_, dv_, img, m_arg, k=k))
 
         variants = {
             "dense_f32": (ev, dv, x, None),
@@ -131,9 +148,13 @@ def main(argv=None):
             dens, 4), "threshold": thresh}
         for vname, (ev_, dv_, img, th) in variants.items():
             try:
-                s = slope(make_chained(ev_, dv_, img, th))
+                med, lo, hi = slope_windows(make_chained(ev_, dv_, img,
+                                                         th))
                 row[vname + "_us_per_frame"] = round(
-                    s / args.batch * 1e6, 2)
+                    med / args.batch * 1e6, 2)
+                row[vname + "_us_minmax"] = [
+                    round(lo / args.batch * 1e6, 2),
+                    round(hi / args.batch * 1e6, 2)]
             except Exception as e:     # noqa: BLE001 — record and move on
                 row[vname + "_error"] = f"{type(e).__name__}: {e}"[:200]
             print(json.dumps({k: row[k] for k in row}), flush=True)
