@@ -72,18 +72,25 @@ def _snap_depth(z: float) -> tuple[float, int]:
     return FOCAL * BASELINE / d, d
 
 
-def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
+def render_scene(rng: np.random.RandomState, n_objects: int | None = None,
+                 z_range: tuple[float, float] = (3.0, 40.0),
+                 bg_depth: float = BG_DEPTH):
     """One scene -> (left u8, right u8 HxWx3, depth f32 HxW, depth_r).
 
     Painter's algorithm far->near; each object pasted at x in the left
     view and x - disp in the right view (KITTI: image_02 is the left
     color camera, so scene content sits at smaller x in image_03).
     ``depth``/``depth_r`` are the per-view TRUE depth maps (left and
-    right camera respectively), each consistent with its own image."""
+    right camera respectively), each consistent with its own image.
+    ``z_range``/``bg_depth`` bound the scene depths: the defaults mimic
+    KITTI; small fast test mounts (e.g. 96x320 self-golden) should pass
+    a NEARER range — at 1/4 eval resolution a 70 m background subtends
+    <1.5 px of stereo disparity, below what photometric training can
+    resolve there."""
     if n_objects is None:
         n_objects = rng.randint(16, 28)
 
-    bg_z, bg_d = _snap_depth(BG_DEPTH)
+    bg_z, bg_d = _snap_depth(bg_depth)
     # background texture wider than the frame so the right view is the
     # same plane seen bg_d pixels to the left
     bg_tex = _texture(rng, FULL_H, FULL_W + bg_d)
@@ -92,7 +99,8 @@ def render_scene(rng: np.random.RandomState, n_objects: int | None = None):
     depth = np.full((FULL_H, FULL_W), bg_z, np.float32)
     depth_r = np.full((FULL_H, FULL_W), bg_z, np.float32)
 
-    zs = np.sort(np.exp(rng.uniform(np.log(3.0), np.log(40.0),
+    zs = np.sort(np.exp(rng.uniform(np.log(z_range[0]),
+                                    np.log(z_range[1]),
                                     n_objects)))[::-1]
     for z in zs:
         z_eff, d = _snap_depth(float(z))
@@ -123,7 +131,9 @@ def fabricate(root: str, n_train: int = 480, n_val: int = 24,
               n_test: int = 32, split: str = "eigen", seed: int = 0,
               jpeg_quality: int = 95, progress: bool = True,
               write_hints: bool = False,
-              hint_size: tuple[int, int] = (192, 640)) -> dict:
+              hint_size: tuple[int, int] = (192, 640),
+              z_range: tuple[float, float] = (3.0, 40.0),
+              bg_depth: float = BG_DEPTH) -> dict:
     """Render and write the full mount; returns {'split_dir': ...}.
 
     write_hints=True also writes GEOMETRICALLY EXACT depth hints
@@ -145,7 +155,8 @@ def fabricate(root: str, n_train: int = 480, n_val: int = 24,
         drive = i // FRAMES_PER_DRIVE + 1
         frame = i % FRAMES_PER_DRIVE
         folder = f"{DATE}/{DATE}_drive_{drive:04d}_sync"
-        l_img, r_img, depth, depth_r = render_scene(rng)
+        l_img, r_img, depth, depth_r = render_scene(
+            rng, z_range=z_range, bg_depth=bg_depth)
         for side, img in (("image_02", l_img), ("image_03", r_img)):
             d = os.path.join(root, folder, side, "data")
             os.makedirs(d, exist_ok=True)

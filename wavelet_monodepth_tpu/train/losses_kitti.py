@@ -265,7 +265,14 @@ def compute_losses_hints(inputs: Dict, outputs: Dict, opts,
             disp_full = (disp if disp.shape[1:3] == dh.shape[1:3]
                          else resize_bilinear(disp, dh.shape[1],
                                               dh.shape[2]))
-            l1 = jnp.abs(disp_full - dh) * mask
+            if getattr(opts, "hint_disp_l1_space", "log") == "log":
+                # scale-invariant: relative disparity (== relative
+                # depth) error, gradient bounded by 1/c
+                c = 0.02
+                l1 = jnp.abs(jnp.log(disp_full + c)
+                             - jnp.log(dh + c)) * mask
+            else:
+                l1 = jnp.abs(disp_full - dh) * mask
             disp_term = w_disp * jnp.sum(l1) / (jnp.sum(mask) + 1e-7)
             losses[f"hint_disp_l1/{scale}"] = disp_term
             loss = loss + disp_term

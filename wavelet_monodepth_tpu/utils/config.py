@@ -85,6 +85,7 @@ class KittiOptions:
     checkpoint_backend: str = "msgpack"    # msgpack (portable single file) | orbax (sharding-aware OCDBT dir)
     auto_resume: bool = False              # restore the newest weights_<epoch> under log_dir/model_name and continue from epoch+1 (crash/preemption recovery; explicit --load_weights_folder wins)
     hint_disp_l1_weight: float = 0.0       # opt-in scratch-training stabilizer (DEVIATIONS.md): adds weight * masked-L1 between each scale's sigmoid disparity and the hint disparity (the loader's ("disp_hint",) key). The reference's hint loss is log(|depth diff|+1) whose gradient in disparity space scales ~depth^2, so a scratch-initialized net (no ImageNet weights available offline) collapses to a depth rail within steps; the disp-space L1 has bounded gradients. 0 (default) = reference semantics exactly
+    hint_disp_l1_space: str = "log"        # space for the stabilizer L1: "log" = |log(disp+c) - log(hint+c)|, c=0.02 — scale-invariant, so far pixels (disp ~0.007 at 70 m) carry relative-error weight instead of vanishing; gradient still bounded by 1/c = 50 (vs the reference hint loss's ~depth^2 = 1e4). "disp" = plain L1 (strongest collapse protection, but far-field signal ~0)
     disp_head_bias: float = 0.0            # init-time surgery (DEVIATIONS.md): set the disparity-head conv biases so sigmoid starts near a chosen disparity (e.g. -4 -> disp ~0.018, depth ~5 m on the stable approach-from-above side). 0 (default) = untouched flax init. Pairs with hint_disp_l1_weight for from-scratch runs; the reference never needs it because it always starts from ImageNet
     host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
     coordinator_address: Optional[str] = None  # multi-host: coordinator host:port for jax.distributed.initialize (same value on every host). On TPU pods leave unset — autodetected when JAX_NUM_PROCESSES/the pod runtime provide it. See MIGRATION.md "Multi-host".
