@@ -153,13 +153,14 @@ def main(argv=None):
     else:
         print(f"-> Loading predictions from {opts.ext_disp_to_eval}")
         pred_disps = np.load(opts.ext_disp_to_eval)
+        info = None
 
     if opts.save_pred_disps and opts.load_weights_folder:
         out = os.path.join(opts.load_weights_folder,
                            f"disps_{opts.eval_split}_split.npy")
         np.save(out, pred_disps)
         # per-scale 4-coefficient stacks (`evaluate_depth.py:231-235`)
-        for s_, arr in info.get("coeffs", {}).items():
+        for s_, arr in (info or {}).get("coeffs", {}).items():
             np.save(os.path.join(
                 opts.load_weights_folder,
                 f"disps_coeffs_s{s_}_{opts.eval_split}_split.npy"), arr)
@@ -199,6 +200,14 @@ def main(argv=None):
               f"std: {np.std(ratios / med):0.3f}")
     print(kitti_eval.format_result_table(mean_errors))
     print("\n-> Done!")
+    # programmatic use (self-golden gate, tests): the 7-metric row plus
+    # the sparse density/op accounting when it ran
+    return {"metrics": dict(zip(
+        ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"),
+        (float(v) for v in mean_errors))),
+        "ratios": np.asarray(ratios),
+        "density_mean": (info or {}).get("density_mean"),
+        "total_ops_mean": (info or {}).get("total_ops_mean")}
 
 
 if __name__ == "__main__":
