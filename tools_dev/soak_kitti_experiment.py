@@ -36,8 +36,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.environ.get("WMD_SOAK_DATA", "/root/data_synth")
 LOG_DIR = os.environ.get("WMD_SOAK_LOGDIR", "/root/soak_logs")
 MODEL = "soak_r5"
-NUM_EPOCHS = 25          # 960 items / b12 = 80 steps/epoch -> 2000 steps
-KILL_AFTER_EPOCH = 12    # SIGKILL once weights_12 exists (step ~1040+)
+NUM_EPOCHS = 25          # x steps_per_epoch() -> >=2000 steps
+KILL_AFTER_EPOCH = 12    # SIGKILL once weights_12 exists (mid-run)
+
+
+def steps_per_epoch() -> int:
+    with open(os.path.join(DATA, "splits", "eigen",
+                           "train_files.txt")) as f:
+        n = sum(1 for ln in f if ln.strip())
+    return n // 12
 
 ARGS = ["--data_path", DATA, "--split", "eigen",
         "--use_stereo", "--frame_ids", "0",
@@ -153,7 +160,8 @@ def main():
     # line at most): epochs_remaining * 80 steps / phase-B wall time
     phase_b_wall = time.time() - killed_at
     resumed_epoch = int(resume_line.group(2)) if resume_line else None
-    steps_b = (NUM_EPOCHS - resumed_epoch) * 80 if resumed_epoch else None
+    spe = steps_per_epoch()
+    steps_b = (NUM_EPOCHS - resumed_epoch) * spe if resumed_epoch else None
     rss_all = rss_a + rss_b
 
     def rate_window(lo, hi):
@@ -177,7 +185,8 @@ def main():
     }
     summary = {
         "config": "R18 640x192 b12 bf16-mp stereo+hints uint8-feed",
-        "total_steps": NUM_EPOCHS * 80,
+        "steps_per_epoch": spe,
+        "total_steps": NUM_EPOCHS * spe,
         "wall_s": wall,
         "killed_after_epoch": KILL_AFTER_EPOCH,
         "resumed_at_epoch": resumed_epoch,

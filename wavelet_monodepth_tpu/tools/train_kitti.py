@@ -22,9 +22,11 @@ def main(argv=None):
     from ..parallel import mesh as mesh_lib
     from ..train.kitti import KittiTrainSetup
     from ..utils import checkpoint as ckpt
+    from ..utils.cache import enable_persistent_compile_cache
     from ..utils.config import parse_kitti_args
     from ..utils.logging import SummaryLogger, TrainTimer
 
+    enable_persistent_compile_cache()
     opts = parse_kitti_args(argv)
     opts.validate_for_training()
     log_path = os.path.join(opts.log_dir, opts.model_name)

@@ -18,9 +18,11 @@ def main(argv=None):
     from ..data import nyu as nyu_data
     from ..train.nyu import NyuTrainSetup
     from ..utils import checkpoint as ckpt
+    from ..utils.cache import enable_persistent_compile_cache
     from ..utils.config import parse_nyu_args
     from ..utils.logging import SummaryLogger
 
+    enable_persistent_compile_cache()
     opts = parse_nyu_args(argv)
     log_path = os.path.join(opts.log_dir, opts.model_name)
 
