@@ -224,3 +224,23 @@ def test_train_cli_data_parallel(mini_kitti, tmp_path_factory):
     restored = ckpt.load_checkpoint(
         folder, setup.init_state(jax.random.PRNGKey(0)))
     assert int(restored.step) > 0
+
+
+def test_train_cli_steps_per_call(mini_kitti, tmp_path_factory):
+    """--steps_per_call 2 through the real CLI main (with --data_axis 2
+    so the stacked [K, B, ...] feed also exercises
+    stacked_batch_sharding): host batch stacking, one scan dispatch per
+    2 steps, last-sub-step scalar/visual logging, checkpoint save."""
+    from wavelet_monodepth_tpu.tools.train_kitti import main as train_main
+    log_dir = str(tmp_path_factory.mktemp("spc_logs"))
+    train_main(["--data_path", mini_kitti, "--log_dir", log_dir,
+                "--model_name", "spc", "--split", "eigen_zhou",
+                "--height", "64", "--width", "96",
+                "--batch_size", "2", "--num_epochs", "1",
+                "--use_stereo", "--frame_ids", "0", "--use_wavelets",
+                "--log_frequency", "1", "--save_frequency", "1",
+                "--data_axis", "2", "--steps_per_call", "2"])
+    folder = os.path.join(log_dir, "spc", "models", "weights_0")
+    assert os.path.exists(os.path.join(folder, "state.msgpack"))
+    ev = os.path.join(log_dir, "spc", "train")
+    assert any("tfevents" in f for f in os.listdir(ev))

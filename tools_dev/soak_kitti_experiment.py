@@ -36,8 +36,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.environ.get("WMD_SOAK_DATA", "/root/data_synth")
 LOG_DIR = os.environ.get("WMD_SOAK_LOGDIR", "/root/soak_logs")
 MODEL = "soak_r5"
-NUM_EPOCHS = 25          # x steps_per_epoch() -> >=2000 steps
-KILL_AFTER_EPOCH = 12    # SIGKILL once weights_12 exists (mid-run)
+# 6 epochs x 320 steps = 1920 steps (>=1000 required). The wall rate
+# on this box is ~2.6-3.4 s/step at K=1 — bound by the 1-CPU host feed
+# (~1.2 s) plus ~1.3 s of relay execute blocking per dispatch (PERF.md
+# round-5), NOT by device time (80 ms). --steps_per_call amortizes the
+# dispatch half of that.
+NUM_EPOCHS = int(os.environ.get("WMD_SOAK_EPOCHS", "6"))
+KILL_AFTER_EPOCH = int(os.environ.get("WMD_SOAK_KILL_EPOCH", "3"))
+STEPS_PER_CALL = int(os.environ.get("WMD_SOAK_SPC", "4"))
 
 
 def steps_per_epoch() -> int:
@@ -52,7 +58,13 @@ ARGS = ["--data_path", DATA, "--split", "eigen",
         "--height", "192", "--width", "640",
         "--num_layers", "18", "--batch_size", "12", "--bfloat16",
         "--num_epochs", str(NUM_EPOCHS),
-        "--log_frequency", "20", "--num_workers", "4",
+        # dense telemetry for the whole run (the reference throttles to
+        # 1 line/1000 steps after step 1000, which left the first soak's
+        # late epochs and the whole post-resume phase unobserved) + the
+        # K-steps-per-dispatch scan path (both r5 features under test)
+        "--log_frequency", "40", "--log_always",
+        "--steps_per_call", str(STEPS_PER_CALL),
+        "--num_workers", "4",
         # from-scratch stabilizers (utils/config.py / DEVIATIONS.md):
         # no ImageNet weights exist offline, and a scratch init under
         # the reference's log-depth hint loss collapses to a depth rail
@@ -68,14 +80,20 @@ LINE_RE = re.compile(
 
 
 def monitor_rss(pid: int, out: list, stop: threading.Event):
+    """Sample (t, rss_mb, anon_mb) — the anon split attributes growth
+    to heap/device-mirror allocations vs page-cache-backed file maps
+    (mmap'd datasets / compile cache), which the kernel can reclaim."""
     while not stop.is_set():
         try:
-            with open(f"/proc/{pid}/status") as f:
+            rss = anon = None
+            with open(f"/proc/{pid}/smaps_rollup") as f:
                 for ln in f:
-                    if ln.startswith("VmRSS"):
-                        out.append((time.time(),
-                                    int(ln.split()[1]) // 1024))
-                        break
+                    if ln.startswith("Rss:"):
+                        rss = int(ln.split()[1]) // 1024
+                    elif ln.startswith("Anonymous:"):
+                        anon = int(ln.split()[1]) // 1024
+            if rss is not None:
+                out.append((time.time(), rss, anon))
         except OSError:
             return
         stop.wait(10.0)
@@ -98,6 +116,16 @@ def ckpt_dir(epoch):
     return os.path.join(LOG_DIR, MODEL, "models", f"weights_{epoch}")
 
 
+def ckpt_complete(epoch):
+    # the save is atomic (utils/checkpoint.py os.replace): the folder
+    # appears first, state.msgpack only at the final rename. The first
+    # round-5 soak killed on FOLDER existence and raced the (relay-slow,
+    # device_get-bound) write — auto-resume correctly fell back to
+    # weights_{k-1}, which proved the fallback path but not the
+    # resume-from-the-killed-epoch path this harness targets.
+    return os.path.exists(os.path.join(ckpt_dir(epoch), "state.msgpack"))
+
+
 def main():
     os.makedirs(LOG_DIR, exist_ok=True)
     train_log = os.path.join(LOG_DIR, "train_console.log")
@@ -114,11 +142,11 @@ def main():
     proc, rss_a, stop_a = launch([], train_log)
     killed_at = None
     while proc.poll() is None:
-        if os.path.isdir(ckpt_dir(KILL_AFTER_EPOCH)):
-            time.sleep(5)          # let the checkpoint finish writing
-            print(f"[soak] weights_{KILL_AFTER_EPOCH} exists -> SIGKILL "
-                  f"(preemption sim) at t={time.time() - t0:.0f}s",
-                  flush=True)
+        if ckpt_complete(KILL_AFTER_EPOCH):
+            time.sleep(2)
+            print(f"[soak] weights_{KILL_AFTER_EPOCH}/state.msgpack "
+                  f"complete -> SIGKILL (preemption sim) at "
+                  f"t={time.time() - t0:.0f}s", flush=True)
             proc.send_signal(signal.SIGKILL)
             killed_at = time.time()
             break
@@ -141,67 +169,90 @@ def main():
     # ---- analysis ----
     with open(train_log, errors="replace") as f:
         log = f.read()
-    steps = []
-    for m in LINE_RE.finditer(log):
-        steps.append(dict(epoch=int(m.group(1)), batch=int(m.group(2)),
-                          forward_s=float(m.group(3)),
-                          examples_s=float(m.group(4)),
-                          dataload_s=float(m.group(5)),
-                          loss=float(m.group(6))))
-    resume_line = re.search(r"auto-resume: restoring (\S+), continuing "
-                            r"at epoch (\d+)", log)
+    resume_m = re.search(r"auto-resume: restoring (\S+), continuing "
+                         r"at epoch (\d+)", log)
+    phase_b_at = resume_m.start() if resume_m else len(log)
+
+    def parse(text):
+        return [dict(epoch=int(m.group(1)), batch=int(m.group(2)),
+                     forward_s=float(m.group(3)),
+                     examples_s=float(m.group(4)),
+                     dataload_s=float(m.group(5)),
+                     loss=float(m.group(6)))
+                for m in LINE_RE.finditer(text)]
+
+    steps_a_log = parse(log[:phase_b_at])
+    steps_b_log = parse(log[phase_b_at:])
+    steps = steps_a_log + steps_b_log
     losses = [s["loss"] for s in steps]
-    # per-epoch mean loss from logged lines
+    # per-epoch mean loss from logged lines (--log_always keeps the
+    # every-40-steps cadence through the late epochs and post-resume)
     by_epoch = {}
     for s in steps:
         by_epoch.setdefault(s["epoch"], []).append(s["loss"])
     epoch_mean = {e: sum(v) / len(v) for e, v in sorted(by_epoch.items())}
-    # steady-state wall rate from phase B (all >=1000 steps, one logged
-    # line at most): epochs_remaining * 80 steps / phase-B wall time
+    ems = list(epoch_mean.values())
     phase_b_wall = time.time() - killed_at
-    resumed_epoch = int(resume_line.group(2)) if resume_line else None
+    resumed_epoch = int(resume_m.group(2)) if resume_m else None
     spe = steps_per_epoch()
-    steps_b = (NUM_EPOCHS - resumed_epoch) * spe if resumed_epoch else None
-    rss_all = rss_a + rss_b
+    espe = (spe // STEPS_PER_CALL) * STEPS_PER_CALL  # drop-last per epoch
+    steps_b = ((NUM_EPOCHS - resumed_epoch) * espe
+               if resumed_epoch is not None else None)
 
     def rate_window(lo, hi):
+        # TrainTimer examples/s is windowed wall rate; the first line of
+        # each process measures startup, so window over epochs [lo, hi)
         xs = [s for s in steps if lo <= s["epoch"] < hi]
         return (sum(x["examples_s"] for x in xs) / len(xs)) if xs else None
+
+    # RSS samples are (t, rss_mb, anon_mb); anon excludes page-cache-
+    # backed file maps (dataset mmap / compile cache) the kernel can
+    # reclaim, so leak detection keys on anon
+    anon_b = [a for _, _, a in rss_b if a is not None]
+    rss_all = rss_a + rss_b
 
     checks = {
         "completed": rc == 0,
         "resumed_from_killed_epoch":
             resumed_epoch == KILL_AFTER_EPOCH + 1,
-        "all_losses_finite": all(l == l and abs(l) < 1e9 for l in losses),
+        "phase_b_logged": len(steps_b_log) > 0,
+        "all_losses_finite":
+            len(losses) > 0 and
+            all(l == l and abs(l) < 1e9 for l in losses),
         "loss_trending_down":
-            len(epoch_mean) >= 6 and
-            (sum(list(epoch_mean.values())[-3:]) / 3
-             < 0.7 * sum(list(epoch_mean.values())[:3]) / 3),
-        "final_checkpoint_exists": os.path.isdir(ckpt_dir(NUM_EPOCHS - 1)),
-        "rss_stable": (len(rss_b) > 3 and
-                       max(r for _, r in rss_b[len(rss_b) // 2:])
-                       < 1.25 * max(r for _, r in
-                                    rss_b[:len(rss_b) // 2])),
+            len(ems) >= 4 and
+            (sum(ems[-2:]) / 2 < 0.8 * sum(ems[:2]) / 2),
+        "final_checkpoint_exists":
+            ckpt_complete(NUM_EPOCHS - 1),
+        "anon_rss_stable": (
+            len(anon_b) > 3 and
+            max(anon_b[len(anon_b) // 2:])
+            < 1.25 * max(anon_b[:len(anon_b) // 2])),
     }
     summary = {
-        "config": "R18 640x192 b12 bf16-mp stereo+hints uint8-feed",
-        "steps_per_epoch": spe,
-        "total_steps": NUM_EPOCHS * spe,
+        "config": ("R18 640x192 b12 bf16-mp stereo+hints uint8-feed "
+                   f"steps_per_call={STEPS_PER_CALL} log_always"),
+        "steps_per_epoch": espe,
+        "total_steps": NUM_EPOCHS * espe,
         "wall_s": wall,
         "killed_after_epoch": KILL_AFTER_EPOCH,
         "resumed_at_epoch": resumed_epoch,
+        "n_logged_lines": [len(steps_a_log), len(steps_b_log)],
         "first_losses": losses[:3],
         "last_losses": losses[-3:],
         "epoch_mean_loss": epoch_mean,
-        "examples_s_early(ep1-3)": rate_window(1, 4),
-        "examples_s_late(ep8-12)": rate_window(8, 13),
+        "examples_s_early": rate_window(1, 4),
+        "examples_s_late": rate_window(NUM_EPOCHS - 2, NUM_EPOCHS),
         "phase_b_wall_s": phase_b_wall,
         "phase_b_steps": steps_b,
         "phase_b_ms_per_step": (1e3 * phase_b_wall / steps_b
                                 if steps_b else None),
         "rss_mb_first": rss_all[0][1] if rss_all else None,
-        "rss_mb_max": max((r for _, r in rss_all), default=None),
+        "rss_mb_max": max((r[1] for r in rss_all), default=None),
         "rss_mb_last": rss_all[-1][1] if rss_all else None,
+        "anon_mb_max": max((r[2] for r in rss_all if r[2] is not None),
+                           default=None),
+        "anon_mb_last": rss_all[-1][2] if rss_all else None,
         "tb_event_files": sorted(
             os.path.join(m, f)
             for m in ("train", "val")

@@ -113,3 +113,20 @@ def parallel_batches(dataset, batch_size: int, num_workers: int = 4,
                 raise err[0]
             return
         yield item
+
+
+def stack_batches(batch_iter, k: int):
+    """Group consecutive host batches into stacked super-batches
+    (leaves [k, B, ...]) for the K-steps-per-dispatch train path
+    (`train/kitti.py make_multi_train_step`). Stacking happens on the
+    host BEFORE device placement, so one transfer ships K steps of
+    input. A trailing group smaller than k is dropped (drop-last
+    semantics, mirroring the batch-level truncation above)."""
+    import numpy as np
+    group = []
+    for b in batch_iter:
+        group.append(b)
+        if len(group) == k:
+            yield {key: np.stack([g[key] for g in group])
+                   for key in group[0]}
+            group = []

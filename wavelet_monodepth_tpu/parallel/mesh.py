@@ -136,6 +136,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for K-steps-per-dispatch super-batches (leaves
+    [K, B, ...], data/loader.py stack_batches): the scan axis K is
+    unsharded, the batch axis shards over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -104,22 +104,41 @@ def main(argv=None):
     if mesh is not None:
         state = mesh_lib.replicate(mesh, state)
 
-    step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
+    # K steps per dispatch (--steps_per_call): lax.scan of the step over
+    # host-stacked batches amortizes per-dispatch runtime overhead
+    # (train/kitti.py make_multi_train_step)
+    K = opts.steps_per_call
+    if K > 1:
+        step_fn = setup.jit_multi_train_step(
+            K, mixed_precision=opts.bfloat16)
+        # one tiny program slices the last sub-batch out of a stacked
+        # input for visuals/val — per-leaf host slicing would pay one
+        # device round trip per leaf
+        slice_last = jax.jit(lambda tree: jax.tree_util.tree_map(
+            lambda x: x[-1], tree))
+    else:
+        step_fn = setup.jit_train_step(mixed_precision=opts.bfloat16)
     eval_fn = jax.jit(setup.make_eval_step())
 
     logger = SummaryLogger(log_path) if is_main else None
-    timer = TrainTimer(steps_per_epoch * opts.num_epochs)
+    effective_spe = (steps_per_epoch // K) * K   # drop-last when K > 1
+    timer = TrainTimer(effective_spe * opts.num_epochs)
 
     # threaded item loading (reference: DataLoader(num_workers=12),
     # `trainer.py:128-139`) + double-buffered host->device transfer;
     # batches land pre-sharded on the data mesh when one is active
-    from ..data.loader import parallel_batches
+    from ..data.loader import parallel_batches, stack_batches
     from ..data.prefetch import to_device
     sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
-    train_iter = to_device(
-        parallel_batches(train_ds, local_batch,
-                         num_workers=opts.num_workers, shuffle=True),
-        sharding=sharding)
+    train_src = parallel_batches(train_ds, local_batch,
+                                 num_workers=opts.num_workers,
+                                 shuffle=True)
+    train_sharding = sharding
+    if K > 1:
+        train_src = stack_batches(train_src, K)
+        train_sharding = (mesh_lib.stacked_batch_sharding(mesh)
+                          if mesh is not None else None)
+    train_iter = to_device(train_src, sharding=train_sharding)
     # val mirrors the reference's shuffled val DataLoader
     # (`trainer.py:136-138`), same worker pool size
     val_iter = to_device(
@@ -131,53 +150,79 @@ def main(argv=None):
         print(f"Training model named:\n   {opts.model_name}")
         print(f"There are {n_train_global} training and {n_val_global} "
               f"validation items")
-    step = start_epoch * steps_per_epoch
+    if is_main and K > 1 and steps_per_epoch % K:
+        print(f"steps_per_call={K}: dropping {steps_per_epoch % K} "
+              f"trailing steps/epoch (drop-last)")
+    step = start_epoch * effective_spe
     for epoch in range(start_epoch, opts.num_epochs):
-        for batch_idx in range(steps_per_epoch):
+        for batch_idx0 in range(0, effective_spe, K):
             t0 = time.time()
             batch = next(train_iter)   # already on device, sharded
             durations = {"dataloading": time.time() - t0}
             t1 = time.time()
             rng, sub = jax.random.split(rng)
             state, losses = step_fn(state, batch, sub)
-            loss = float(losses["loss"])
             durations["batch_process"] = time.time() - t1
 
-            early = batch_idx % opts.log_frequency == 0 and step < 1000
-            late = step % 1000 == 0
+            # log when the K-step window [batch_idx0, batch_idx0+K)
+            # contains a log boundary (K=1 reduces to the plain
+            # modulo conditions)
+            batch_idx = batch_idx0 + K - 1       # last sub-step's index
+            early = any((batch_idx0 + j) % opts.log_frequency == 0
+                        for j in range(K)) and (
+                            opts.log_always or step + K - 1 < 1000)
+            late = any((step + j) % 1000 == 0 for j in range(K))
             if early or late:
+                # scalars come off-device ONLY here: on the
+                # relay-attached TPU every synchronous fetch pays a
+                # 1-3 s round trip (PERF.md landmine #2) — a per-step
+                # `float(loss)` made the wall rate 3-4x the device
+                # step time (round-5 soak finding). One device_get of
+                # the whole dict overlaps the per-leaf transfers.
+                losses_host = jax.device_get(losses)
+                if K > 1:   # per-sub-step values stacked on axis 0:
+                    losses_host = {k: v[-1]     # log the last sub-step
+                                   for k, v in losses_host.items()}
+                loss = float(losses_host["loss"])
+                vis_batch = slice_last(batch) if K > 1 else batch
                 # the forwards below run collectives, so EVERY process
                 # executes them in lockstep; only the TB/print side
                 # effects are rank-0's (logger is a no-op elsewhere)
                 if is_main:
-                    print(timer.log_line(epoch, batch_idx, max(step, 1),
+                    print(timer.log_line(epoch, batch_idx,
+                                         max(step + K - 1, 1),
                                          opts.batch_size, durations, loss))
                     logger.scalars(
-                        "train", {k: float(v) for k, v in losses.items()},
-                        step)
+                        "train",
+                        {k: float(v) for k, v in losses_host.items()},
+                        step + K - 1)
                 # train-batch visuals (`trainer.py:661-720`): warped
                 # predictions, automask, disparities, per-scale wavelet
                 # coefficient images/histograms/min-max — re-forwarded
                 # through the eval step so the jitted train step never
                 # fetches image tensors off-device on non-log steps
                 rng, sub = jax.random.split(rng)
-                toutputs, _ = eval_fn(state, batch, sub)
+                toutputs, _ = eval_fn(state, vis_batch, sub)
                 if is_main:
                     logger.log_kitti_visuals(
-                        "train", mesh_lib.local_tree(batch),
-                        mesh_lib.local_tree(toutputs), opts, step)
+                        "train", mesh_lib.local_tree(vis_batch),
+                        mesh_lib.local_tree(toutputs), opts,
+                        step + K - 1)
                 # one-batch validation (`trainer.py:312-327`)
                 vbatch = next(val_iter)
                 rng, sub = jax.random.split(rng)
                 voutputs, vlosses = eval_fn(state, vbatch, sub)
                 if is_main:
+                    vlosses_host = jax.device_get(vlosses)
                     logger.scalars(
-                        "val", {k: float(v) for k, v in vlosses.items()},
-                        step)
+                        "val",
+                        {k: float(v) for k, v in vlosses_host.items()},
+                        step + K - 1)
                     logger.log_kitti_visuals(
                         "val", mesh_lib.local_tree(vbatch),
-                        mesh_lib.local_tree(voutputs), opts, step)
-            step += 1
+                        mesh_lib.local_tree(voutputs), opts,
+                        step + K - 1)
+            step += K
 
         if (epoch + 1) % opts.save_frequency == 0 and (
                 is_main or opts.checkpoint_backend == "orbax"):

@@ -111,8 +111,11 @@ def main(argv=None):
                 from ..ops.wavelets import haar_dwt_J
                 from ..train.nyu import depth_norm
                 if is_main:
+                    # one device_get overlaps per-leaf relay transfers
+                    losses_host = jax.device_get(losses)
                     logger.scalars(
-                        "train", {k: float(v) for k, v in losses.items()},
+                        "train",
+                        {k: float(v) for k, v in losses_host.items()},
                         step)
                 # pred-vs-GT coefficient images + histograms
                 # (`NYUv2/train.py:113-163`): re-forward through the
@@ -143,8 +146,10 @@ def main(argv=None):
                 vgt_wav = (haar_dwt_J(vdepth_n, 4) if opts.use_wavelets
                            else None)
                 if is_main:
+                    vlosses_host = jax.device_get(vlosses)
                     logger.scalars(
-                        "val", {k: float(v) for k, v in vlosses.items()},
+                        "val",
+                        {k: float(v) for k, v in vlosses_host.items()},
                         step)
                     logger.log_nyu_visuals(
                         "val", mesh_lib.local_rows(vimg_f),

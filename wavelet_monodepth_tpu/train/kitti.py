@@ -320,6 +320,39 @@ class KittiTrainSetup:
         return jax.jit(self.make_train_step(mixed_precision),
                        donate_argnums=(0,))
 
+    # ------------------------------------------------------------------
+    def make_multi_train_step(self, k: int,
+                              mixed_precision: bool = False):
+        """K train steps per dispatch: `lax.scan` of the single step
+        over a stacked batch dict (leaves [K, B, ...]).
+
+        TPU-native dispatch amortization: one compiled program per K
+        optimizer steps, so per-dispatch host/runtime overhead (on a
+        relay-attached device ~1-2 s per execute+fetch, PERF.md round-5
+        soak finding) is paid once per K steps instead of per step. The
+        RNG carry reproduces the host loop's `split` sequence exactly,
+        so K=2 equals two single-step calls bit-for-bit (tested); the
+        returned losses keep the per-sub-step values stacked on a
+        leading K axis."""
+        step = self.make_train_step(mixed_precision)
+
+        def multi_step(state: TrainState, stacked_inputs: Dict,
+                       rng: jax.Array):
+            def body(carry, inputs):
+                st, r = carry
+                r, sub = jax.random.split(r)
+                st, losses = step(st, inputs, sub)
+                return (st, r), losses
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, rng), stacked_inputs, length=k)
+            return state, losses
+        return multi_step
+
+    def jit_multi_train_step(self, k: int, mixed_precision: bool = False):
+        return jax.jit(self.make_multi_train_step(k, mixed_precision),
+                       donate_argnums=(0,))
+
 
 def synthetic_batch(opts: KittiOptions, batch_size: int,
                     rng: Optional[jax.Array] = None) -> Dict:

@@ -88,6 +88,8 @@ class KittiOptions:
     hint_disp_l1_space: str = "log"        # space for the stabilizer L1: "log" = |log(disp+c) - log(hint+c)|, c=0.02 — scale-invariant, so far pixels (disp ~0.007 at 70 m) carry relative-error weight instead of vanishing; gradient still bounded by 1/c = 50 (vs the reference hint loss's ~depth^2 = 1e4). "disp" = plain L1 (strongest collapse protection, but far-field signal ~0)
     disp_head_bias: float = 0.0            # init-time surgery (DEVIATIONS.md): set the disparity-head conv biases so sigmoid starts near a chosen disparity (e.g. -4 -> disp ~0.018, depth ~5 m on the stable approach-from-above side). 0 (default) = untouched flax init. Pairs with hint_disp_l1_weight for from-scratch runs; the reference never needs it because it always starts from ImageNet
     host_augment: bool = False             # jitter + float-cast on the host (the reference's DataLoader semantics, PIL enhance chain). Default off: the train feed ships uint8 frames + 4 jitter scalars and the jitted step casts/jitters on device (ops/augment.py) — 4x fewer host->device bytes, ~2x less host work per item. Also controls the eval feed: default uint8 (forward casts in-jit), --host_augment restores f32
+    log_always: bool = False               # keep the early log cadence (every log_frequency steps) for the WHOLE run. The reference throttles to one log per 1000 steps after step 1000 (`trainer.py:217-218`); that starves long-run telemetry (the round-5 soak saw zero loss lines after resume). Default off = reference cadence
+    steps_per_call: int = 1               # K optimizer steps per jitted dispatch (train/kitti.py make_multi_train_step: lax.scan of the step over host-stacked batches). Amortizes per-dispatch runtime overhead — on a relay-attached device ~1-2 s per execute (PERF.md round-5 soak) — at the cost of K-deep input buffering; K=1 (default) = one program per step, identical math either way (scan carries the same RNG split sequence; drop-last on the per-epoch remainder)
     coordinator_address: Optional[str] = None  # multi-host: coordinator host:port for jax.distributed.initialize (same value on every host). On TPU pods leave unset — autodetected when JAX_NUM_PROCESSES/the pod runtime provide it. See MIGRATION.md "Multi-host".
     num_processes: Optional[int] = None        # multi-host: total process count (one per host)
     process_id: Optional[int] = None           # multi-host: this host's rank in [0, num_processes)
@@ -108,6 +110,7 @@ class KittiOptions:
             # crashes the same way at trainer.py:435-443)
             assert not self.v1_multiscale, \
                 "--v1_multiscale is incompatible with --use_depth_hints"
+        assert self.steps_per_call >= 1, "steps_per_call must be >= 1"
 
     @property
     def all_frame_ids(self) -> tuple:

@@ -197,17 +197,28 @@ def sec_to_hm_str(t: float) -> str:
 
 
 class TrainTimer:
-    """Wall-clock stage timing like `trainer.py:202-226`."""
+    """Wall-clock stage timing like `trainer.py:202-226`.
+
+    examples/s is the WINDOWED wall rate (steps since the previous log
+    line over the wall time since then), not batch/durations: steps
+    dispatch asynchronously and scalars are fetched only on log steps
+    (train_kitti.py), so per-step durations no longer measure the true
+    rate on the relay-attached backend."""
 
     def __init__(self, num_total_steps: int):
         self.start_time = time.time()
         self.num_total_steps = num_total_steps
+        self._last_log_time = self.start_time
+        self._last_log_step = 0
 
     def log_line(self, epoch: int, batch_idx: int, step: int,
                  batch_size: int, durations: Dict[str, float],
                  loss: float) -> str:
-        samples_per_sec = batch_size / max(durations.get("batch_process",
-                                                         1e-9), 1e-9)
+        now = time.time()
+        dsteps = max(step - self._last_log_step, 1)
+        samples_per_sec = (batch_size * dsteps
+                           / max(now - self._last_log_time, 1e-9))
+        self._last_log_time, self._last_log_step = now, step
         elapsed = time.time() - self.start_time
         left = (self.num_total_steps / step - 1.0) * elapsed if step else 0
         return (f"epoch {epoch:>3} | batch {batch_idx:>6} | "
