@@ -169,8 +169,13 @@ def torch_oracle(ckpt: str) -> dict:
     img = cv2.resize(img, (640, 192), interpolation=cv2.INTER_AREA)
     x = jnp.asarray(img[None].astype(np.float32) / 255.0)
 
-    feats = encoder.apply(enc_vars, x)
-    ours = decoder.apply(dec_vars, feats)
+    # the cross-forward compares OUR decoder against torch-CPU f32;
+    # on the TPU, f32 convs default to bf16-pass precision (~2.5e-3
+    # max disp error on trained weights — round-5 finding), so pin
+    # true-f32 for this numeric oracle only
+    with jax.default_matmul_precision("highest"):
+        feats = encoder.apply(enc_vars, x)
+        ours = decoder.apply(dec_vars, feats)
 
     ref_dec = load_reference_decoder(os.path.join(out_dir, "depth.pth"))
     tfeats = [torch.from_numpy(
