@@ -32,6 +32,9 @@ H, W = 96, 320
 ROOT = "/tmp/sg_tune/mount"
 LOGS = "/tmp/sg_tune/logs"
 EPOCHS = int(os.environ.get("SG_TUNE_EPOCHS", "20"))
+N_TRAIN = int(os.environ.get("SG_TUNE_NTRAIN", "10"))
+HINT_W = os.environ.get("SG_TUNE_HINT_W", "1.0")
+ROOT = os.environ.get("SG_TUNE_MOUNT", ROOT)
 
 
 def main():
@@ -44,7 +47,7 @@ def main():
         # 70 m background subtends <1.5 px of stereo disparity — below
         # what photometric training can resolve there (measured: far-
         # mount abs_rel plateaus ~0.7-1.0 regardless of hint space)
-        fabricate(ROOT, n_train=10, n_val=2, n_test=4, progress=False,
+        fabricate(ROOT, n_train=N_TRAIN, n_val=2, n_test=4, progress=False,
                   write_hints=True, hint_size=(H, W),
                   z_range=(2.0, 12.0), bg_depth=14.0)
     print("mount ready", flush=True)
@@ -55,7 +58,7 @@ def main():
                 "--batch_size", "2", "--num_epochs", str(EPOCHS),
                 "--use_stereo", "--frame_ids", "0",
                 "--use_depth_hints", "--use_wavelets",
-                "--hint_disp_l1_weight", "1.0",
+                "--hint_disp_l1_weight", HINT_W,
                 "--disp_head_bias", "-4.0",
                 "--log_frequency", "10", "--save_frequency", "1",
                 "--num_layers", "18"])

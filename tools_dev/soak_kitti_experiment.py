@@ -35,7 +35,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.environ.get("WMD_SOAK_DATA", "/root/data_synth")
 LOG_DIR = os.environ.get("WMD_SOAK_LOGDIR", "/root/soak_logs")
-MODEL = "soak_r5"
+MODEL = os.environ.get("WMD_SOAK_MODEL", "soak_r5")
+HINT_W = os.environ.get("WMD_SOAK_HINT_W", "1.0")
+ARENA_MAX = os.environ.get("WMD_SOAK_ARENA_MAX", "")
+OUT_SUFFIX = os.environ.get("WMD_SOAK_OUT_SUFFIX", "")
 # 6 epochs x 320 steps = 1920 steps (>=1000 required). The wall rate
 # on this box is ~2.6-3.4 s/step at K=1 — bound by the 1-CPU host feed
 # (~1.2 s) plus ~1.3 s of relay execute blocking per dispatch (PERF.md
@@ -70,7 +73,7 @@ ARGS = ["--data_path", DATA, "--split", "eigen",
         # the reference's log-depth hint loss collapses to a depth rail
         # (round-5 diagnosis, PERF.md). The reference never trains from
         # scratch — these two opt-ins are the offline substitute.
-        "--hint_disp_l1_weight", "1.0", "--disp_head_bias", "-4.0",
+        "--hint_disp_l1_weight", HINT_W, "--disp_head_bias", "-4.0",
         "--model_name", MODEL, "--log_dir", LOG_DIR]
 
 LINE_RE = re.compile(
@@ -101,10 +104,16 @@ def monitor_rss(pid: int, out: list, stop: threading.Event):
 
 def launch(extra, log_path):
     logf = open(log_path, "ab", buffering=0)
+    env = dict(os.environ)
+    if ARENA_MAX:
+        # A/B for the round-5 anon-RSS ramp: cap glibc per-thread
+        # arenas; if anon flattens vs the uncapped first soak, the ramp
+        # was arena growth/fragmentation, not a reference leak
+        env["MALLOC_ARENA_MAX"] = ARENA_MAX
     proc = subprocess.Popen(
         [sys.executable, "-m", "wavelet_monodepth_tpu.tools.train_kitti"]
         + ARGS + extra,
-        cwd=REPO, stdout=logf, stderr=subprocess.STDOUT)
+        cwd=REPO, stdout=logf, stderr=subprocess.STDOUT, env=env)
     rss, stop = [], threading.Event()
     t = threading.Thread(target=monitor_rss, args=(proc.pid, rss, stop),
                          daemon=True)
@@ -253,6 +262,8 @@ def main():
         "anon_mb_max": max((r[2] for r in rss_all if r[2] is not None),
                            default=None),
         "anon_mb_last": rss_all[-1][2] if rss_all else None,
+        "malloc_arena_max": ARENA_MAX or None,
+        "rss_timeline": [(round(t, 1), r, a) for t, r, a in rss_all],
         "tb_event_files": sorted(
             os.path.join(m, f)
             for m in ("train", "val")
@@ -262,11 +273,12 @@ def main():
         "checks": checks,
         "ok": all(checks.values()),
     }
-    out = os.path.join(REPO, "artifacts", "soak_kitti_r5.json")
+    out = os.path.join(REPO, "artifacts", f"soak_kitti_r5{OUT_SUFFIX}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps(summary, indent=1), flush=True)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "rss_timeline"}, indent=1), flush=True)
     print(f"[soak] {'PASS' if summary['ok'] else 'FAIL'} -> {out}",
           flush=True)
 

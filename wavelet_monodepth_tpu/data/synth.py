@@ -247,9 +247,18 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--write_hints", action="store_true",
                    help="also write exact depth hints (skips SGBM)")
+    p.add_argument("--z_near", type=float, default=3.0)
+    p.add_argument("--z_far", type=float, default=40.0)
+    p.add_argument("--bg_depth", type=float, default=BG_DEPTH,
+                   help="background plane depth, metres; at 640px a 70 m"
+                        " background subtends ~3 px of stereo disparity"
+                        " — prefer ~14 m for from-scratch photometric"
+                        " training (round-5 finding)")
     args = p.parse_args(argv)
     out = fabricate(args.root, args.n_train, args.n_val, args.n_test,
-                    args.split, args.seed, write_hints=args.write_hints)
+                    args.split, args.seed, write_hints=args.write_hints,
+                    z_range=(args.z_near, args.z_far),
+                    bg_depth=args.bg_depth)
     print(f"wrote {out['n_items_train']} train items; "
           f"split dir {out['split_dir']}")
 
