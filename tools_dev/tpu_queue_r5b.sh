@@ -47,4 +47,11 @@ fi
 
 stage soak_kitti2 timeout 10800 python tools_dev/soak_kitti_experiment.py
 stage self_golden2 timeout 4200 python tools_dev/self_golden_experiment.py
+
+# NYU rerun: 10 epochs (600 steps), arena cap A/B + persisted RSS
+# timeline, calibrated trend gate (see soak_nyu_experiment.py)
+export WMD_NYU_EPOCHS=10
+export WMD_NYU_ARENA_MAX=2
+export WMD_NYU_OUT_SUFFIX=b
+stage soak_nyu2 timeout 7200 python tools_dev/soak_nyu_experiment.py
 echo "[queue2] ALL DONE $(date -u +%H:%M:%S)"
