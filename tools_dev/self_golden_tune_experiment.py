@@ -35,6 +35,7 @@ EPOCHS = int(os.environ.get("SG_TUNE_EPOCHS", "20"))
 N_TRAIN = int(os.environ.get("SG_TUNE_NTRAIN", "10"))
 HINT_W = os.environ.get("SG_TUNE_HINT_W", "1.0")
 ROOT = os.environ.get("SG_TUNE_MOUNT", ROOT)
+LOGS = os.environ.get("SG_TUNE_LOGS", LOGS)
 
 
 def main():

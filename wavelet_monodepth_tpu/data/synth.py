@@ -72,9 +72,30 @@ def _snap_depth(z: float) -> tuple[float, int]:
     return FOCAL * BASELINE / d, d
 
 
+SKY = np.array([198.0, 204.0, 214.0])   # attenuation target color
+
+
+def _attenuate(tex: np.ndarray, z: float, z_atten: float) -> np.ndarray:
+    """Atmospheric attenuation: blend toward SKY with 1-exp(-z/L).
+
+    This is the MONOCULAR depth cue of the fabricated world. Random
+    box layouts carry no appearance->depth relationship, so monocular
+    eval on unseen scenes is irreducibly ambiguous no matter how long
+    training runs (round-5 finding: train-frame disparity correlates
+    0.82 with the exact hints while held-out abs_rel stays ~0.55).
+    Fog gives depth a deterministic, local, physically-plausible
+    appearance signature; both stereo views of a surface get the SAME
+    shading (same z), so stereo matching and the exact hints are
+    untouched."""
+    a = 1.0 - np.exp(-z / z_atten)
+    return np.clip((1.0 - a) * tex.astype(np.float32)
+                   + a * SKY[None, None], 0, 255).astype(np.uint8)
+
+
 def render_scene(rng: np.random.RandomState, n_objects: int | None = None,
                  z_range: tuple[float, float] = (3.0, 40.0),
-                 bg_depth: float = BG_DEPTH):
+                 bg_depth: float = BG_DEPTH,
+                 mono_cues: bool = True):
     """One scene -> (left u8, right u8 HxWx3, depth f32 HxW, depth_r).
 
     Painter's algorithm far->near; each object pasted at x in the left
@@ -86,14 +107,19 @@ def render_scene(rng: np.random.RandomState, n_objects: int | None = None,
     KITTI; small fast test mounts (e.g. 96x320 self-golden) should pass
     a NEARER range — at 1/4 eval resolution a 70 m background subtends
     <1.5 px of stereo disparity, below what photometric training can
-    resolve there."""
+    resolve there. ``mono_cues`` adds depth-correlated appearance
+    (atmospheric attenuation + physical object sizes) so HELD-OUT
+    monocular depth is learnable at all — see _attenuate."""
     if n_objects is None:
         n_objects = rng.randint(16, 28)
+    z_atten = 0.75 * bg_depth
 
     bg_z, bg_d = _snap_depth(bg_depth)
     # background texture wider than the frame so the right view is the
     # same plane seen bg_d pixels to the left
     bg_tex = _texture(rng, FULL_H, FULL_W + bg_d)
+    if mono_cues:
+        bg_tex = _attenuate(bg_tex, bg_z, z_atten)
     left = bg_tex[:, bg_d:bg_d + FULL_W].copy()
     right = bg_tex[:, :FULL_W].copy()
     depth = np.full((FULL_H, FULL_W), bg_z, np.float32)
@@ -104,11 +130,19 @@ def render_scene(rng: np.random.RandomState, n_objects: int | None = None,
                                     n_objects)))[::-1]
     for z in zs:
         z_eff, d = _snap_depth(float(z))
-        w = rng.randint(60, 420)
-        h = rng.randint(40, 260)
+        if mono_cues:
+            # fixed physical size range -> apparent size scales 1/z
+            # (the classic size cue; clipped to keep paste bounds sane)
+            w = int(np.clip(rng.uniform(0.7, 3.2) * FOCAL / z, 24, 640))
+            h = int(np.clip(rng.uniform(0.5, 2.0) * FOCAL / z, 18, 300))
+        else:
+            w = rng.randint(60, 420)
+            h = rng.randint(40, 260)
         x0 = rng.randint(-w // 3, FULL_W - 2 * w // 3)
         y0 = rng.randint(-h // 3, FULL_H - 2 * h // 3)
         tex = _texture(rng, h, w)
+        if mono_cues:
+            tex = _attenuate(tex, z_eff, z_atten)
 
         # left-view paste (clipped to frame)
         lx0, ly0 = max(x0, 0), max(y0, 0)
