@@ -67,6 +67,22 @@ def test_photometric_minimum_at_exact_hints(mount):
         at_truth, ladder)
 
 
+def test_mono_cues_present():
+    # held-out monocular eval is only learnable if appearance encodes
+    # depth: the fabricator's atmospheric attenuation must pull far
+    # surfaces toward the sky color (round-5 finding; without cues,
+    # held-out abs_rel plateaus ~0.55 while train-frame disparity
+    # correlates 0.82 with the exact hints — pure memorization)
+    from wavelet_monodepth_tpu.data.synth import SKY, render_scene
+    rng = np.random.RandomState(3)
+    left, _, depth, _ = render_scene(rng, z_range=(2.0, 12.0),
+                                     bg_depth=14.0)
+    dist = np.abs(left.astype(np.float32) - SKY[None, None]).mean(-1)
+    near = dist[depth < 4.0].mean()
+    far = dist[depth > 12.0].mean()
+    assert near > 1.8 * far, (near, far)
+
+
 def test_hints_are_nominal_baseline_units(mount):
     # hints are metric depth / 5.4 (the loader's 0.1 nominal baseline vs
     # the rendered rig's TRUE 0.54 m — data/synth.py:139-144), so the
